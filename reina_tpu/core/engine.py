@@ -1,0 +1,249 @@
+"""Run assembly and execution: variables → compiled run → scanned days.
+
+``build_run`` compiles everything the scanned day step needs (model
+arrays, intervention schedules, seeded agent state); ``run_days``
+executes a jitted ``lax.scan`` over day chunks so the host can stream
+partial results between chunks (the reference streams per-day rows to a
+cache from its worker process, simulation_thread.py:38-46).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+
+from . import constants as C
+from .params import (DISEASE_PARAMS, compile_disease, compile_import_ages,
+                     compile_population, create_disease_params)
+from .schedule import Schedules, compile_schedules
+from .state import (AgentState, DayCarry, blank_state, initial_all_detected,
+                    seed_initial_state)
+from .step import DayOutputs, EngineConfig, ModelArrays, SchedRow, day_step, \
+    snapshot_outputs
+from ..config.interventions import get_active_interventions
+from ..data import loaders
+
+
+@dataclass
+class CompiledRun:
+    cfg: EngineConfig
+    arrays: ModelArrays
+    schedules: Schedules          # device arrays, leading axis = days
+    init_state: AgentState
+    init_carry: DayCarry
+    days: int
+    start_date: str
+    random_seed: int
+    variant_names: List[str]
+    group_labels: List[str]
+    n_agents: int
+    meta: Dict[str, Any] = field(default_factory=dict)
+
+
+def build_run(variables: Dict[str, Any],
+              cfg_overrides: Optional[Dict[str, Any]] = None) -> CompiledRun:
+    """Compile a full simulation from resolved variables
+    (the analog of constructing model.Context, main.pyx:1759-1781)."""
+    nr_ages = variables["max_age"] + 1
+    days = variables["simulation_days"]
+    seed = variables["random_seed"]
+
+    age_counts = loaders.get_population_for_area(variables["area_name"])[:nr_ages]
+    contacts = loaders.get_contact_tensor()
+    band_of_age = contacts.band_of_age(variables["max_age"])
+    contact_base = contacts.per_year_participant(variables["max_age"]).astype(np.float32)
+
+    disease_params = create_disease_params(variables)
+    disease, variant_names = compile_disease(disease_params, nr_ages)
+    V = len(variant_names)
+
+    pop = compile_population(np.asarray(age_counts), band_of_age,
+                             layout_seed=seed)
+    n_padded = len(pop.ages)
+
+    ivs = get_active_interventions(variables)
+    sched_np, slots = compile_schedules(
+        ivs, variables["start_date"], days, nr_ages, variant_names)
+
+    import_ages = compile_import_ages(
+        create_pairs(variables["imported_infection_ages"]), nr_ages)
+
+    # σmax per (variant, band): receiver-side thinning bound
+    B = int(band_of_age.max()) + 1
+    sigma_max = np.zeros((V, B), dtype=np.float32)
+    for b in range(B):
+        sel = band_of_age == b
+        sigma_max[:, b] = disease.p_susc[:, sel].max(axis=1)
+
+    G = pop.nr_groups
+    group_onehot = jax.nn.one_hot(pop.group_of_agent, G + 1, dtype=jnp.bfloat16)
+
+    arrays = ModelArrays(
+        ages=jnp.asarray(pop.ages, jnp.int32),
+        active=jnp.asarray(pop.active),
+        age_perm=jnp.asarray(pop.age_perm),
+        desc_age_perm=jnp.asarray(pop.age_perm[::-1].copy()),
+        age_start=jnp.asarray(pop.age_start),
+        band_of_age=jnp.asarray(pop.band_of_age),
+        band_counts=jnp.asarray(pop.band_counts),
+        group_onehot=group_onehot,
+        group_of_agent=jnp.asarray(pop.group_of_agent),
+        contact_base=jnp.asarray(contact_base),
+        p_susc=jnp.asarray(disease.p_susc),
+        sigma_max=jnp.asarray(sigma_max),
+        p_sympt=jnp.asarray(disease.p_sympt),
+        p_severe_c=jnp.asarray(disease.p_severe_c),
+        p_critical_c=jnp.asarray(disease.p_critical_c),
+        p_fatal_c=jnp.asarray(disease.p_fatal_c),
+        p_doh=jnp.asarray(disease.p_doh),
+        iot=jnp.asarray(disease.iot),
+        inf_mult=jnp.asarray(disease.inf_mult),
+        asymp_mult=jnp.asarray(disease.asymp_mult),
+        mask_pw=jnp.asarray(disease.mask_pw),
+        mask_po=jnp.asarray(disease.mask_po),
+        p_hosp_death_no_beds=jnp.asarray(disease.p_hosp_death_no_beds),
+        p_icu_death_no_beds=jnp.asarray(disease.p_icu_death_no_beds),
+        mu_incub=jnp.asarray(disease.mu_incub),
+        mu_death=jnp.asarray(disease.mu_death),
+        mu_recov=jnp.asarray(disease.mu_recov),
+        ratio_before_hosp=jnp.asarray(disease.ratio_before_hosp),
+        ratio_in_ward=jnp.asarray(disease.ratio_in_ward),
+        import_cum_p=jnp.asarray(import_ages.cum_p),
+        import_min_age=jnp.asarray(import_ages.min_age),
+        import_max_age=jnp.asarray(import_ages.max_age),
+        vacc_min_age=jnp.asarray(slots.min_age),
+        vacc_max_age=jnp.asarray(slots.max_age),
+    )
+
+    # initial agent state + seeded epidemic condition
+    state_np = blank_state(pop)
+    ipc = loaders.get_initial_population_condition(
+        variables["area_name"], variables["start_date"],
+        incubating=variables["incubating_at_simulation_start"],
+        ill=variables["ill_at_simulation_start"],
+        recovered=variables["recovered_at_simulation_start"])
+    rng = np.random.default_rng(np.random.SeedSequence([seed, 0xC0FFEE]))
+    beds = variables["hospital_beds"]
+    icu = variables["icu_units"]
+    state_np, avail_beds, avail_icu = seed_initial_state(
+        state_np, disease, ipc, beds, icu, rng)
+
+    from .params import make_age_groups
+    labels = make_age_groups(nr_ages - 1)
+    group_of_age = np.array([pop.group_labels.index(x) for x in labels],
+                            dtype=np.int32)
+
+    init_carry = DayCarry(
+        day=jnp.int32(0),
+        beds_avail=jnp.int32(avail_beds),
+        icu_avail=jnp.int32(avail_icu),
+        beds_total=jnp.int32(beds),
+        icu_total=jnp.int32(icu),
+        weekly_leftover=jnp.zeros(V, jnp.float32),
+        all_detected=jnp.asarray(initial_all_detected(
+            ipc.confirmed_cases, group_of_age, G, nr_ages)),
+        problem=jnp.int32(0),
+    )
+
+    cfg = EngineConfig(
+        vacc_slots=max(slots.count, 1),
+        nr_variants=V,
+        **(cfg_overrides or {}))
+
+    return CompiledRun(
+        cfg=cfg,
+        arrays=arrays,
+        schedules=jax.tree.map(jnp.asarray, sched_np),
+        init_state=jax.tree.map(jnp.asarray, state_np),
+        init_carry=init_carry,
+        days=days,
+        start_date=variables["start_date"],
+        random_seed=seed,
+        variant_names=variant_names,
+        group_labels=pop.group_labels,
+        n_agents=int(np.asarray(age_counts).sum()),
+        meta={"area_name": variables["area_name"]},
+    )
+
+
+def create_pairs(lst):
+    return [(int(a), float(w)) for a, w in lst]
+
+
+@partial(jax.jit, static_argnums=(0, 6))
+def run_chunk(cfg: EngineConfig, arrays: ModelArrays, schedules: Schedules,
+              state: AgentState, carry: DayCarry, base_key, chunk_len: int,
+              day0):
+    """Scan ``chunk_len`` days starting at ``day0``."""
+    sched_slice = jax.tree.map(
+        lambda x: jax.lax.dynamic_slice_in_dim(x, day0, chunk_len), schedules)
+
+    def body(sc, row):
+        st, cr = sc
+        st, cr, out = day_step(cfg, arrays, SchedRow(*row), st, cr, base_key)
+        return (st, cr), out
+
+    (state, carry), outs = jax.lax.scan(body, (state, carry), sched_slice)
+    return state, carry, outs
+
+
+def check_problems(carry: DayCarry) -> None:
+    problem = int(carry.problem)
+    if problem:
+        msgs = [s for bit, s in C.PROBLEM_TO_STR.items() if problem & bit]
+        raise C.SimulationFailed(", ".join(msgs))
+
+
+def run_days(run: CompiledRun, n_days: Optional[int] = None,
+             chunk_days: int = 32, day_callback=None,
+             seed: Optional[int] = None):
+    """Execute the run; returns stacked DayOutputs (numpy pytree) with a
+    leading day axis of length ``n_days`` (row 0 = initial snapshot —
+    mirroring the reference's emit-then-iterate loop,
+    calc/simulation.py:194-270).
+
+    ``day_callback(day_idx, outputs_so_far)`` fires after each chunk;
+    returning False cancels the run.
+    """
+    n_days = n_days if n_days is not None else run.days
+    base_key = jr.PRNGKey(run.random_seed if seed is None else seed)
+    state, carry = run.init_state, run.init_carry
+
+    snap = snapshot_outputs(run.cfg, run.arrays, state, carry,
+                            run.schedules.mobility_scalar[0])
+    rows = [jax.tree.map(lambda x: np.asarray(x)[None], snap)]
+
+    steps_left = n_days - 1
+    day = 0
+    import time
+    chunk_times = []
+    while steps_left > 0:
+        this_chunk = min(chunk_days, steps_left)
+        t0 = time.perf_counter()
+        state, carry, outs = run_chunk(
+            run.cfg, run.arrays, run.schedules, state, carry, base_key,
+            this_chunk, day)
+        outs = jax.tree.map(np.asarray, outs)  # blocks
+        chunk_times.append((this_chunk, time.perf_counter() - t0))
+        rows.append(outs)
+        day += this_chunk
+        steps_left -= this_chunk
+        if day_callback is not None:
+            partial_out = jax.tree.map(
+                lambda *xs: np.concatenate(xs, axis=0), *rows)
+            if not day_callback(day, partial_out):
+                raise ExecutionInterrupted()
+
+    check_problems(carry)
+    stacked = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *rows)
+    return stacked, state, carry, chunk_times
+
+
+class ExecutionInterrupted(Exception):
+    """Cooperative cancellation (reference calc/__init__.py:4)."""

@@ -1,0 +1,686 @@
+"""The vectorized day step: one simulated day as a single XLA program.
+
+This is the TPU-native replacement for the reference's serial nogil
+sweep (main.pyx:1968-2009). Each phase is fully vectorized over the
+agent axis:
+
+  1. capacity builds + weekly-import accounting   (main.pyx:1671-1699)
+  2. R_t bookkeeping over newly-removed agents    (main.pyx:1968-1972)
+  3. testing-queue drain, detection, 2-level contact tracing,
+     vaccination campaigns                        (main.pyx:514-593)
+  4. exposure: group-aggregated transmission "darts" — per-source
+     contact counts (lognormal), aggregated by (age, variant,
+     infectiousness-day, asymptomatic) groups, binomially split across
+     contact-age bands, then per-target infection trials by receiver
+     thinning                                     (main.pyx:908-955, 1290-1320, 1539-1573)
+  5. disease progression with exact sequential bed/ICU rationing via a
+     clamped-counter associative scan             (main.pyx:395-439, 617-648)
+  6. merge of new infections (imports + contacts) with infector
+     attribution                                  (main.pyx:209-245, 1652-1699)
+  7. per-age-group statistics via one MXU matmul  (main.pyx:1701-1744, 1813-1857)
+
+Deviations from the serial reference are distributional-equivalence
+preserving and documented in docs/parity.md.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+
+from . import constants as C
+from .state import AgentState, DayCarry
+from ..ops.clamped import clamped_counter_grants
+
+I32 = jnp.int32
+F32 = jnp.float32
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Static engine knobs (hashable; passed as a static jit arg)."""
+    infection_buffer: int = 1 << 16   # max new contact-infections per day
+    import_buffer: int = 512          # max imported infections per day
+    import_attempts: int = 10         # susceptible-search retries (main.pyx:1657)
+    vacc_slots: int = 1               # vaccination campaign slots (≥ 1)
+    nr_variants: int = 2
+    stats_matmul: bool = True         # age-group stats on the MXU
+
+
+class ModelArrays(NamedTuple):
+    """All compiled static model data (device arrays)."""
+    # population
+    ages: jnp.ndarray            # (N,) int32 (widened for gathers)
+    active: jnp.ndarray          # (N,) bool
+    age_perm: jnp.ndarray        # (N,) int32 — agents sorted by age
+    desc_age_perm: jnp.ndarray   # (N,) int32 — descending age (padding first)
+    age_start: jnp.ndarray       # (A+1,) int32
+    band_of_age: jnp.ndarray     # (A,) int32
+    band_counts: jnp.ndarray     # (B,) int32
+    group_onehot: jnp.ndarray    # (N, G+1) bfloat16 — output age groups
+    group_of_agent: jnp.ndarray  # (N,) int32
+    # contacts
+    contact_base: jnp.ndarray    # (A, P, B) float32
+    # disease (leading axis = variant)
+    p_susc: jnp.ndarray          # (V, A)
+    sigma_max: jnp.ndarray       # (V, B)
+    p_sympt: jnp.ndarray         # (V, A)
+    p_severe_c: jnp.ndarray      # (V, A)
+    p_critical_c: jnp.ndarray    # (V, A)
+    p_fatal_c: jnp.ndarray       # (V, A)
+    p_doh: jnp.ndarray           # (V, A)
+    iot: jnp.ndarray             # (V, 21)
+    inf_mult: jnp.ndarray        # (V,)
+    asymp_mult: jnp.ndarray      # (V,)
+    mask_pw: jnp.ndarray         # (V,)
+    mask_po: jnp.ndarray         # (V,)
+    p_hosp_death_no_beds: jnp.ndarray  # (V,)
+    p_icu_death_no_beds: jnp.ndarray   # (V,)
+    mu_incub: jnp.ndarray        # (V,)
+    mu_death: jnp.ndarray        # (V,)
+    mu_recov: jnp.ndarray        # (V,)
+    ratio_before_hosp: jnp.ndarray  # (V,)
+    ratio_in_ward: jnp.ndarray   # (V,)
+    # imported infections
+    import_cum_p: jnp.ndarray    # (Cc,)
+    import_min_age: jnp.ndarray  # (Cc,)
+    import_max_age: jnp.ndarray  # (Cc,)
+    # vaccination slots
+    vacc_min_age: jnp.ndarray    # (S,)
+    vacc_max_age: jnp.ndarray    # (S,)
+
+
+class SchedRow(NamedTuple):
+    """One day's slice of the compiled schedules."""
+    mobility: jnp.ndarray        # (A, P)
+    mobility_scalar: jnp.ndarray
+    mask_p: jnp.ndarray          # (A, P)
+    testing_mode: jnp.ndarray
+    trace_p: jnp.ndarray
+    detect_anyway_p: jnp.ndarray
+    beds_build: jnp.ndarray
+    icu_build: jnp.ndarray
+    import_today: jnp.ndarray    # (V,)
+    weekly_amount: jnp.ndarray
+    weekly_shares: jnp.ndarray   # (V,)
+    vacc_nr: jnp.ndarray         # (S,)
+
+
+class DayOutputs(NamedTuple):
+    by_group: jnp.ndarray        # (13, G) int32 — POP_ATTR x age-group counts
+    available_hospital_beds: jnp.ndarray
+    available_icu_units: jnp.ndarray
+    total_icu_units: jnp.ndarray
+    r: jnp.ndarray               # float32
+    exposed_per_day: jnp.ndarray
+    ct_cases_per_day: jnp.ndarray
+    mobility_limitation: jnp.ndarray
+    exposures_by_place: jnp.ndarray  # (P,) int32
+    infected_by_variant: jnp.ndarray  # (V,) int32
+
+
+# Order matters: the driver unpacks by position (see POP_ATTRS there).
+GROUPED_ATTRS = (
+    "susceptible", "vaccinated", "infected", "all_infected", "detected",
+    "all_detected", "in_icu", "cum_icu", "in_ward", "dead", "recovered",
+    "non_hospital_deaths", "new_infections",
+)
+
+
+def _round_to_int(f):
+    """Reference round_to_int (main.pyx:773-774): floor(f + 0.5)."""
+    return jnp.floor(f + 0.5).astype(jnp.int16)
+
+
+def _severity_draw(key, arrays: ModelArrays, variant, age, dov, day):
+    """Vectorized get_symptom_severity (main.pyx:1041-1091), including
+    the duplicated fatal branch that sends every chain-fatal case to
+    death outside hospital. Returns (severity i8, death_outside bool)."""
+    val = jr.uniform(key, age.shape, F32)
+    vmod = jnp.where(
+        (dov >= 0) & ((day - dov.astype(I32)) > C.VACCINE_DELAY_DAYS),
+        1.0 - C.VACCINE_EFFICACY, 1.0)
+    syc_raw = arrays.p_sympt[variant, age]
+    asympt = val >= syc_raw
+    syc = syc_raw * vmod
+    dohc = arrays.p_doh[variant, age]
+    fatal_doh = (dohc > 0) & (val < dohc * syc)
+    val = jnp.where(dohc > 0, (val - dohc) / (1 - dohc), val)
+    sc = arrays.p_severe_c[variant, age]
+    cc = arrays.p_critical_c[variant, age]
+    fc = arrays.p_fatal_c[variant, age]
+    sev = jnp.where(val < sc * syc, C.SEVERE, C.MILD)
+    sev = jnp.where(val < cc * sc * syc, C.CRITICAL, sev)
+    fatal_chain = val < fc * cc * sc * syc
+    sev = jnp.where(fatal_chain, C.FATAL, sev)
+    outside = fatal_chain  # reference quirk: chain-fatal ⇒ dies outside
+    sev = jnp.where(fatal_doh, C.FATAL, sev)
+    outside = outside | fatal_doh
+    sev = jnp.where(asympt, C.ASYMPTOMATIC, sev)
+    outside = outside & ~asympt
+    return sev.astype(jnp.int8), outside
+
+
+def _binomial_split(key, totals, probs):
+    """Multinomial across the trailing axis of ``probs`` via sequential
+    conditional binomials. totals: (...,) float; probs: (..., B) with
+    sum ≤ 1 (the remainder is the discard category).
+    Returns counts (..., B) float32."""
+    B = probs.shape[-1]
+    rem = totals
+    remp = jnp.ones_like(totals)
+    outs = []
+    for b in range(B):
+        pb = probs[..., b]
+        cond = jnp.where(remp > 1e-9, pb / jnp.maximum(remp, 1e-9), 0.0)
+        cond = jnp.clip(cond, 0.0, 1.0)
+        n_b = jr.binomial(jr.fold_in(key, b), rem, cond)
+        n_b = jnp.where(rem > 0, n_b, 0.0)
+        outs.append(n_b)
+        rem = rem - n_b
+        remp = remp - pb
+    return jnp.stack(outs, axis=-1)
+
+
+def _group_counts(arrays: ModelArrays, masks):
+    """Count agents per output age group for each mask: one bf16 matmul
+    on the MXU instead of 13 scatter reductions. Exact: 0/1 values and
+    f32 accumulation (counts < 2^24)."""
+    stacked = jnp.stack([m.astype(jnp.bfloat16) for m in masks])  # (K, N)
+    counts = jnp.dot(stacked, arrays.group_onehot,
+                     preferred_element_type=F32)  # (K, G+1)
+    return counts[:, :-1].astype(I32)
+
+
+def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
+             state: AgentState, carry: DayCarry, base_key):
+    """Advance one day. Returns (state, carry, DayOutputs)."""
+    N = state.age.shape[0]
+    A = arrays.age_start.shape[0] - 1
+    V = cfg.nr_variants
+    P = C.NR_PLACES
+    B = arrays.band_counts.shape[0]
+
+    day = carry.day
+    key = jr.fold_in(base_key, day)
+    (k_contact, k_bin, k_place, k_inf, k_var, k_sev, k_gam1, k_gam2,
+     k_attr_age, k_attr_src, k_imp, k_trace1, k_trace2, k_anyway,
+     k_offset, k_nocare1, k_nocare2) = jr.split(key, 17)
+
+    age = state.age.astype(I32)
+    variant = state.variant.astype(I32)
+    sev = state.severity.astype(I32)
+    st = state.state.astype(I32)
+    active = state.active
+    problem = carry.problem
+
+    # ---- phase 1: capacity builds + weekly imports --------------------
+    beds_total = carry.beds_total + sched.beds_build
+    icu_total = carry.icu_total + sched.icu_build
+    beds_avail = carry.beds_avail + sched.beds_build
+    icu_avail = carry.icu_avail + sched.icu_build
+
+    leftover = carry.weekly_leftover + sched.weekly_amount / 7.0 * sched.weekly_shares
+    weekly_today = jnp.floor(leftover).astype(I32)
+    leftover = leftover - weekly_today
+    import_counts = sched.import_today + weekly_today  # (V,)
+
+    # ---- phase 2: R_t totals over newly-removed agents ---------------
+    removed = (st == C.RECOVERED) | (st == C.DEAD)
+    count_now = removed & ~state.included_in_totals & active
+    total_infectors = jnp.sum(count_now, dtype=I32)
+    total_infections = jnp.sum(jnp.where(count_now, state.n_infected, 0), dtype=I32)
+    included = state.included_in_totals | count_now
+    r_value = jnp.where(
+        total_infectors > 5,
+        total_infections.astype(F32) / jnp.maximum(total_infectors, 1).astype(F32),
+        0.0)
+
+    # ---- phase 3: testing drain, tracing, vaccination -----------------
+    drained = state.queued
+    ct_cases = jnp.sum(drained & active, dtype=I32)
+    newly_detected = drained & ~state.was_detected
+    was_detected = state.was_detected | drained
+    detected_today = newly_detected
+    queued = jnp.zeros_like(drained)
+
+    ct_active = sched.testing_mode == C.TESTING_ALL_WITH_SYMPTOMS_CT
+    is_dead = st == C.DEAD
+    infector_safe = jnp.clip(state.infector, 0, N - 1)
+    has_infector = state.infector >= 0
+
+    def trace_round(sources, queued, was_detected, k):
+        # edges from traced sources toward their infector...
+        src_edge_tgt = jnp.where(sources & has_infector, state.infector, N)
+        cnt1 = jnp.zeros(N + 1, I32).at[src_edge_tgt].add(1)[:N]
+        # ...and toward their infectees (valid while the source is still
+        # infected and was infected under contact tracing — the
+        # reference frees infectee lists on removal, main.pyx:301-307)
+        src_tracked = sources & state.ct_tracked & state.is_infected
+        cnt2 = (has_infector & src_tracked[infector_safe]).astype(I32)
+        n_edges = cnt1 + cnt2
+        p_q = 1.0 - jnp.power(1.0 - sched.trace_p, n_edges.astype(F32))
+        eligible = active & ~is_dead & ~was_detected & ~queued
+        u = jr.uniform(k, (N,), F32)
+        newq = eligible & (n_edges > 0) & (u < p_q) & ct_active
+        return queued | newq, newq
+
+    queued, s1 = trace_round(drained & ct_active, queued, was_detected, k_trace1)
+    queued, _s2 = trace_round(s1, queued, was_detected, k_trace2)
+
+    dov = state.day_of_vaccination
+    for s in range(cfg.vacc_slots):
+        nr = jnp.floor(sched.vacc_nr[s]).astype(I32)
+        mn, mx = arrays.vacc_min_age[s], arrays.vacc_max_age[s]
+        eligible = (active & ~is_dead & ~was_detected & (dov < 0)
+                    & (age >= mn) & (age <= mx))
+        elig_desc = eligible[arrays.desc_age_perm]
+        rank = jnp.cumsum(elig_desc.astype(I32))
+        take_desc = elig_desc & (rank <= nr)
+        take = jnp.zeros(N, bool).at[arrays.desc_age_perm].set(take_desc)
+        dov = jnp.where(take, day.astype(jnp.int16), dov)
+
+    # ---- phase 4: exposure --------------------------------------------
+    day_rel = jnp.where(st == C.INCUBATION, -state.days_left.astype(I32),
+                        state.day_of_illness.astype(I32))
+    iot_idx = day_rel + C.IOT_OFFSET
+    iot_ok = (iot_idx >= 0) & (iot_idx < C.IOT_LEN)
+    iot_idx_c = jnp.clip(iot_idx, 0, C.IOT_LEN - 1)
+    can_expose = (((st == C.INCUBATION) & (state.day_of_infection.astype(I32) < day))
+                  | (st == C.ILLNESS))
+    asympt = sev == C.ASYMPTOMATIC
+    inf_base = (arrays.iot[variant, iot_idx_c]
+                * jnp.where(asympt, arrays.asymp_mult[variant], 1.0)
+                * arrays.inf_mult[variant])
+    exposer = can_expose & iot_ok & active & ~was_detected & state.is_infected
+    inf_base = jnp.where(exposer, inf_base, 0.0)
+    exposer = inf_base > 0
+
+    # contact counts: lognormal(0, 0.5) × age mean × restriction factor
+    # (main.pyx:1306-1320); symptomatic ill agents halve contacts and
+    # cap at 5 (main.pyx:949-953)
+    q = arrays.contact_base * sched.mobility[:, :, None]        # (A, P, B)
+    nc_a = jnp.sum(q, axis=(1, 2))                              # (A,)
+    q_hat = q / jnp.maximum(nc_a, 1e-9)[:, None, None]
+    sympt_ill = (st == C.ILLNESS) & ~asympt
+    factor = jnp.where(sympt_ill, C.SYMPTOMATIC_CONTACT_FACTOR, 1.0)
+    limit = jnp.where(sympt_ill, C.SYMPTOMATIC_CONTACT_LIMIT,
+                      C.DEFAULT_CONTACT_LIMIT)
+    z = jr.normal(k_contact, (N,), F32)
+    f = jnp.exp(C.CONTACT_LOGNORMAL_SIGMA * z) * nc_a[age] * factor
+    f = jnp.maximum(f, 1.0)
+    k_s = jnp.clip(jnp.floor(f).astype(I32) - 1, 0, limit)
+    k_s = jnp.where(exposer, k_s, 0)
+    exposed_per_day = jnp.sum(k_s, dtype=I32)
+
+    # mask protection per (variant, age, place): p(either mask saves)
+    # = a + b − ab with a = m·p_others, b = m·p_wearer (main.pyx:926-933)
+    m = sched.mask_p                                             # (A, P)
+    a_ = m[None] * arrays.mask_po[:, None, None]
+    b_ = m[None] * arrays.mask_pw[:, None, None]
+    save = a_ + b_ - a_ * b_                                     # (V, A, P)
+    # candidate-dart success per (variant, source age, target band):
+    # place-marginalized contact prob × (1−mask save) × band σmax
+    Tq = jnp.einsum("apb,vap->vab", q_hat, 1.0 - save) * arrays.sigma_max[:, None, :]
+
+    # aggregate contact counts by (age, variant, iot-day, asympt) group;
+    # binomial(k, p) sums over same-p sources, so per-group totals give
+    # exact dart counts at a tiny fraction of per-agent sampling cost
+    g_idx = ((age * V + variant) * C.IOT_LEN + iot_idx_c) * 2 + asympt.astype(I32)
+    G = A * V * C.IOT_LEN * 2
+    g_idx = jnp.where(exposer, g_idx, G)
+    K_g = jnp.zeros(G + 1, F32).at[g_idx].add(k_s.astype(F32))[:G]
+    K_g = K_g.reshape(A, V, C.IOT_LEN, 2)
+
+    # per-group infectiousness: iot[v,t] · asymp_mult[v]^s · inf_mult[v],
+    # broadcast over source age → (1, V, T, S)
+    ig = (arrays.iot[None, :, :, None]
+          * jnp.stack([jnp.ones(V), arrays.asymp_mult], axis=-1)[None, :, None, :]
+          * arrays.inf_mult[None, :, None, None])
+    # π[a,v,t,s,b] = ig[·,v,t,s] · Tq[v,a,b]
+    pi = ig[:, :, :, :, None] * Tq.transpose(1, 0, 2)[:, :, None, None, :]
+
+    darts = _binomial_split(k_bin, K_g, pi)                      # (A,V,T,S,B)
+    D = jnp.sum(darts, axis=(0, 2, 3))                           # (V, B)
+
+    # receiver side: each dart hits a uniform agent of its band and is
+    # accepted with σ(age)/σmax — thinning makes the per-target hit
+    # count Binomial(D, σ/(σmax·N_band)); infection = at least one hit
+    band_t = arrays.band_of_age[age]                             # (N,)
+    nb = arrays.band_counts[band_t].astype(F32)
+    h = []
+    for v in range(V):
+        lam = arrays.p_susc[v, age] / (arrays.sigma_max[v, band_t] * nb)
+        h_v = -jnp.expm1(D[v, band_t] * jnp.log1p(-lam))
+        h.append(h_v)
+    h = jnp.stack(h)                                             # (V, N)
+    p_inf = 1.0 - jnp.prod(1.0 - h, axis=0)
+    susceptible = active & ~state.is_infected & ~state.has_immunity
+    u_inf = jr.uniform(k_inf, (N,), F32)
+    new_contact = susceptible & (u_inf < p_inf)
+
+    h_sum = jnp.sum(h, axis=0)
+    u_var = jr.uniform(k_var, (N,), F32) * jnp.maximum(h_sum, 1e-30)
+    cum_h = jnp.cumsum(h, axis=0)
+    new_variant = jnp.sum(u_var >= cum_h, axis=0, dtype=I32)
+    new_variant = jnp.clip(new_variant, 0, V - 1)
+
+    # ---- phase 5: progression + capacity rationing ---------------------
+    adv_inc = (st == C.INCUBATION) & (state.day_of_infection.astype(I32) < day) \
+        & state.is_infected & active
+    adv_ill = (st == C.ILLNESS) & state.is_infected & active
+    adv_hosp = (st == C.HOSPITALIZED) & state.is_infected & active
+    adv_icu = (st == C.IN_ICU) & state.is_infected & active
+    adv_any = adv_inc | adv_ill | adv_hosp | adv_icu
+    dl = state.days_left
+    dl_new = jnp.where(adv_any, jnp.maximum(dl - 1, 0), dl)
+    fire = adv_any & (dl_new == 0)
+
+    o2r = state.o2r
+    rb = arrays.ratio_before_hosp[variant]
+    rw = arrays.ratio_in_ward[variant]
+
+    onset = adv_inc & fire
+    illness_days = _round_to_int(o2r * jnp.where(sev >= C.SEVERE, rb, 1.0))
+
+    mode = sched.testing_mode
+    u_anyway = jr.uniform(k_anyway, (N,), F32)
+    seek = onset & ~asympt & ~was_detected
+    queue_new = seek & (
+        (mode == C.TESTING_ALL_WITH_SYMPTOMS)
+        | (mode == C.TESTING_ALL_WITH_SYMPTOMS_CT)
+        | ((mode == C.TESTING_ONLY_SEVERE_SYMPTOMS)
+           & ((sev >= C.SEVERE) | (u_anyway < sched.detect_anyway_p))))
+    queued = queued | queue_new
+
+    ill_end = adv_ill & fire
+    die_home = ill_end & (sev == C.FATAL) & state.death_outside
+    bed_request = ill_end & (sev >= C.SEVERE) & ~die_home
+    recover_ill = ill_end & ~die_home & ~bed_request
+    day_of_illness = jnp.where(adv_ill, state.day_of_illness + 1,
+                               state.day_of_illness)
+
+    hosp_end = adv_hosp & fire
+    icu_request = hosp_end & (sev >= C.CRITICAL)
+    hosp_recover = hosp_end & ~icu_request
+
+    icu_end = adv_icu & fire
+    icu_die = icu_end & (sev == C.FATAL)
+    icu_recover = icu_end & ~icu_die
+
+    offset = jr.randint(k_offset, (), 0, N)
+    granted_bed, beds_after = clamped_counter_grants(
+        hosp_end.astype(I32), bed_request, beds_avail, offset)
+    granted_icu, icu_after = clamped_counter_grants(
+        icu_end.astype(I32), icu_request, icu_avail, offset)
+
+    u1 = jr.uniform(k_nocare1, (N,), F32)
+    bed_denied = bed_request & ~granted_bed
+    die_chance = jnp.where(
+        sev == C.FATAL, 1.0,
+        jnp.where(sev == C.CRITICAL, arrays.p_icu_death_no_beds[variant],
+                  arrays.p_hosp_death_no_beds[variant]))
+    denied_die = bed_denied & (u1 < die_chance)
+    denied_recover = bed_denied & ~denied_die
+    hospitalized_now = bed_request & granted_bed
+    hosp_days = _round_to_int(
+        o2r * jnp.where(sev == C.SEVERE, 1.0 - rb, rw))
+
+    u2 = jr.uniform(k_nocare2, (N,), F32)
+    icu_denied = icu_request & ~granted_icu
+    icu_die_chance = jnp.where(sev == C.FATAL, 1.0,
+                               arrays.p_icu_death_no_beds[variant])
+    icu_denied_die = icu_denied & (u2 < icu_die_chance)
+    # ICU-denied survivors still enter IN_ICU without claiming a unit —
+    # faithful to person_transfer_to_icu (main.pyx:341-351)
+    icu_enter = (icu_request & granted_icu) | (icu_denied & ~icu_denied_die)
+    icu_days = _round_to_int(o2r * (1.0 - rw - rb))
+
+    detect_hosp = bed_request & ~was_detected
+    was_detected = was_detected | bed_request
+    detected_today = detected_today | detect_hosp
+
+    dies = die_home | denied_die | icu_denied_die | icu_die
+    recovers = recover_ill | denied_recover | hosp_recover | icu_recover
+
+    new_st = st
+    new_st = jnp.where(onset, C.ILLNESS, new_st)
+    new_st = jnp.where(hospitalized_now, C.HOSPITALIZED, new_st)
+    new_st = jnp.where(icu_enter, C.IN_ICU, new_st)
+    new_st = jnp.where(recovers, C.RECOVERED, new_st)
+    new_st = jnp.where(dies, C.DEAD, new_st)
+
+    days_left = dl_new
+    days_left = jnp.where(onset, illness_days, days_left)
+    days_left = jnp.where(hospitalized_now, hosp_days, days_left)
+    days_left = jnp.where(icu_enter, icu_days, days_left)
+
+    is_infected = state.is_infected & ~(dies | recovers)
+    has_immunity = state.has_immunity | ((dies | recovers) & state.is_infected)
+    ever_icu = state.ever_icu | icu_enter
+
+    # ---- phase 6: merge new infections ---------------------------------
+    # imported infections (one-shot + weekly)
+    M = cfg.import_buffer
+    cum_imp = jnp.cumsum(import_counts)
+    tot_imports = cum_imp[-1]
+    problem = jnp.where(tot_imports > M,
+                        problem | C.PROBLEM_IMPORT_BUFFER_OVERFLOW, problem)
+    slot_ids = jnp.arange(M, dtype=I32)
+    slot_valid = slot_ids < tot_imports
+    slot_variant = jnp.searchsorted(cum_imp, slot_ids, side="right").astype(I32)
+    slot_variant = jnp.clip(slot_variant, 0, V - 1)
+
+    u_imp = jr.uniform(k_imp, (M, cfg.import_attempts, 2), F32)
+    cls = jnp.searchsorted(arrays.import_cum_p, u_imp[..., 0], side="left")
+    cls = jnp.clip(cls, 0, arrays.import_cum_p.shape[0] - 1)
+    lo = arrays.age_start[arrays.import_min_age[cls]]
+    hi = arrays.age_start[jnp.minimum(arrays.import_max_age[cls] + 1, A)]
+    pos = lo + jnp.floor(u_imp[..., 1] * jnp.maximum(hi - lo, 1).astype(F32)).astype(I32)
+    cand = arrays.age_perm[jnp.clip(pos, 0, N - 1)]              # (M, attempts)
+    cand_ok = (st[cand] == C.SUSCEPTIBLE) & ~is_infected[cand] \
+        & ~has_immunity[cand] & active[cand] & (hi > lo)
+    first = jnp.argmax(cand_ok, axis=1)
+    any_ok = jnp.any(cand_ok, axis=1)
+    import_agent = cand[jnp.arange(M), first]
+    import_ok = slot_valid & any_ok
+    import_tgt = jnp.where(import_ok, import_agent, N)
+    import_mask = jnp.zeros(N + 1, bool).at[import_tgt].set(True)[:N]
+    import_var = jnp.zeros(N + 1, I32).at[import_tgt].set(slot_variant)[:N]
+
+    new_contact = new_contact & ~import_mask
+    newly = new_contact | import_mask
+    variant_new = jnp.where(import_mask, import_var, new_variant)
+
+    # infector attribution for contact infections: two-stage categorical
+    # (source age class ∝ C[a,v]·T[v,a,b], then source within class ∝
+    # contacts × infectiousness) — exact under dart Poissonization
+    Kcap = cfg.infection_buffer
+    pos_new = jnp.cumsum(new_contact.astype(I32)) - 1
+    n_new = pos_new[-1] + 1
+    problem = jnp.where(n_new > Kcap,
+                        problem | C.PROBLEM_INFECTION_BUFFER_OVERFLOW, problem)
+    slot_of_agent = jnp.where(new_contact & (pos_new < Kcap), pos_new, Kcap)
+    buf_agent = jnp.full(Kcap + 1, N, I32).at[slot_of_agent].set(
+        jnp.arange(N, dtype=I32))[:Kcap]
+    slot_used = buf_agent < N
+    buf_agent_c = jnp.clip(buf_agent, 0, N - 1)
+
+    C_av = jnp.sum(K_g * ig, axis=(2, 3))                        # (A, V)
+    b_i = band_t[buf_agent_c]
+    v_i = variant_new[buf_agent_c]
+    w = C_av.T[v_i] * Tq.transpose(0, 2, 1)[v_i, b_i]            # (Kcap, A)
+    gumb = jr.gumbel(k_attr_age, w.shape, F32)
+    logw = jnp.where(w > 0, jnp.log(jnp.maximum(w, 1e-30)), -jnp.inf)
+    a_star = jnp.argmax(logw + gumb, axis=1).astype(I32)
+
+    c_s = jnp.where(exposer, k_s.astype(F32) * inf_base, 0.0)
+    c_sorted = c_s[arrays.age_perm]
+    var_sorted = variant[arrays.age_perm]
+    u_src = jr.uniform(k_attr_src, (Kcap,), F32)
+    infector_new = jnp.full(Kcap, -1, I32)
+    for v in range(V):
+        cum_v = jnp.cumsum(jnp.where(var_sorted == v, c_sorted, 0.0))
+        lo_i = arrays.age_start[a_star]
+        hi_i = arrays.age_start[a_star + 1]
+        lo_c = jnp.where(lo_i > 0, cum_v[jnp.maximum(lo_i - 1, 0)], 0.0)
+        hi_c = cum_v[jnp.maximum(hi_i - 1, 0)]
+        x = lo_c + u_src * (hi_c - lo_c)
+        pos_v = jnp.searchsorted(cum_v, x, side="left").astype(I32)
+        src_v = arrays.age_perm[jnp.clip(pos_v, 0, N - 1)]
+        ok_v = (v_i == v) & (hi_c > lo_c) & slot_used
+        infector_new = jnp.where(ok_v, src_v, infector_new)
+
+    infector = state.infector.at[jnp.where(slot_used, buf_agent, N)].set(
+        infector_new, mode="drop")
+    src_scatter = jnp.where(slot_used & (infector_new >= 0), infector_new, N)
+    n_infected = state.n_infected.at[src_scatter].add(1, mode="drop")
+
+    # initialize newly-infected fields (person_infect, main.pyx:209-235)
+    sev_new, outside_new = _severity_draw(k_sev, arrays, variant_new, age, dov, day)
+    kappa_inc = 1.0 / (C.INCUBATION_CV ** 2)
+    theta_inc = (C.INCUBATION_CV ** 2) * arrays.mu_incub[variant_new]
+    g_inc = jr.gamma(k_gam1, kappa_inc, (N,), F32) * theta_inc
+    incub_days = _round_to_int(g_inc)
+    kappa_o2r = 1.0 / (C.ONSET_TO_REMOVED_CV ** 2)
+    mu_o2r = jnp.where(sev_new == C.FATAL, arrays.mu_death[variant_new],
+                       arrays.mu_recov[variant_new])
+    g_o2r = jr.gamma(k_gam2, kappa_o2r, (N,), F32) * (C.ONSET_TO_REMOVED_CV ** 2) * mu_o2r
+
+    new_st = jnp.where(newly, C.INCUBATION, new_st)
+    sev_out = jnp.where(newly, sev_new.astype(I32), sev)
+    death_outside = jnp.where(newly, outside_new, state.death_outside)
+    days_left = jnp.where(newly, incub_days, days_left)
+    o2r = jnp.where(newly, g_o2r, o2r)
+    is_infected = is_infected | newly
+    day_of_infection = jnp.where(newly, day.astype(jnp.int16),
+                                 state.day_of_infection)
+    variant_out = jnp.where(newly, variant_new, variant)
+    ct_tracked = jnp.where(newly, ct_active, state.ct_tracked)
+    day_of_illness = jnp.where(newly, 0, day_of_illness)
+
+    # ---- phase 7: outputs ----------------------------------------------
+    ever_infected = is_infected | has_immunity
+    dead_m = new_st == C.DEAD
+    masks = [
+        active & ~ever_infected,                   # susceptible
+        active & (dov >= 0),                       # vaccinated
+        active & is_infected,                      # infected
+        active & ever_infected,                    # all_infected
+        active & detected_today,                   # detected (today)
+        active & detected_today,                   # all_detected (delta; cum added below)
+        active & (new_st == C.IN_ICU),             # in_icu
+        active & ever_icu,                         # cum_icu
+        active & (new_st == C.HOSPITALIZED),       # in_ward
+        active & dead_m,                           # dead
+        active & (new_st == C.RECOVERED),          # recovered
+        active & dead_m & death_outside,           # non_hospital_deaths
+        active & newly,                            # new_infections
+    ]
+    by_group = _group_counts(arrays, masks)
+    all_detected = carry.all_detected + by_group[5]
+    by_group = by_group.at[5].set(all_detected)
+
+    exposures = _exposures_by_place(k_place, K_g, q_hat)
+    inf_by_variant = jnp.stack(
+        [jnp.sum(newly & (variant_new == v), dtype=I32) for v in range(V)])
+
+    out = DayOutputs(
+        by_group=by_group,
+        available_hospital_beds=beds_after,
+        available_icu_units=icu_after,
+        total_icu_units=icu_total,
+        r=r_value,
+        exposed_per_day=exposed_per_day,
+        ct_cases_per_day=ct_cases,
+        mobility_limitation=1.0 - sched.mobility_scalar,
+        exposures_by_place=exposures,
+        infected_by_variant=inf_by_variant,
+    )
+
+    new_state = AgentState(
+        age=state.age,
+        state=new_st.astype(jnp.int8),
+        severity=sev_out.astype(jnp.int8),
+        variant=variant_out.astype(jnp.int8),
+        death_outside=death_outside,
+        days_left=days_left.astype(jnp.int16),
+        day_of_illness=day_of_illness.astype(jnp.int16),
+        day_of_infection=day_of_infection,
+        day_of_vaccination=dov,
+        o2r=o2r,
+        infector=infector,
+        n_infected=n_infected,
+        is_infected=is_infected,
+        has_immunity=has_immunity,
+        was_detected=was_detected,
+        queued=queued,
+        ct_tracked=ct_tracked,
+        ever_icu=ever_icu,
+        included_in_totals=included,
+        active=active,
+    )
+    new_carry = DayCarry(
+        day=day + 1,
+        beds_avail=beds_after, icu_avail=icu_after,
+        beds_total=beds_total, icu_total=icu_total,
+        weekly_leftover=leftover,
+        all_detected=all_detected,
+        problem=problem,
+    )
+    return new_state, new_carry, out
+
+
+def _exposures_by_place(key, K_g, q_hat):
+    """Sample the per-place split of all drawn contacts: the marginal
+    place distribution per source age is multinomial (main.pyx:1571)."""
+    K_age = jnp.sum(K_g, axis=(1, 2, 3))                          # (A,)
+    qp = jnp.sum(q_hat, axis=2)                                   # (A, P)
+    counts = _binomial_split(key, K_age, qp)                      # (A, P)
+    return jnp.sum(counts, axis=0).astype(I32)
+
+
+def snapshot_outputs(cfg: EngineConfig, arrays: ModelArrays,
+                     state: AgentState, carry: DayCarry,
+                     mobility_scalar) -> DayOutputs:
+    """Day-0 snapshot before any events (the reference emits state
+    before the first iterate, calc/simulation.py:194-270)."""
+    V = cfg.nr_variants
+    st = state.state.astype(I32)
+    active = state.active
+    ever_infected = state.is_infected | state.has_immunity
+    zero = active & False
+    dead_m = st == C.DEAD
+    masks = [
+        active & ~ever_infected,
+        active & (state.day_of_vaccination >= 0),
+        active & state.is_infected,
+        active & ever_infected,
+        zero,
+        zero,  # replaced by carry.all_detected below
+        active & (st == C.IN_ICU),
+        active & state.ever_icu,
+        active & (st == C.HOSPITALIZED),
+        active & dead_m,
+        active & (st == C.RECOVERED),
+        active & dead_m & state.death_outside,
+        zero,
+    ]
+    by_group = _group_counts(arrays, masks).at[5].set(carry.all_detected)
+    P = C.NR_PLACES
+    return DayOutputs(
+        by_group=by_group,
+        available_hospital_beds=carry.beds_avail,
+        available_icu_units=carry.icu_avail,
+        total_icu_units=carry.icu_total,
+        r=jnp.float32(0.0),
+        exposed_per_day=jnp.int32(0),
+        ct_cases_per_day=jnp.int32(0),
+        mobility_limitation=1.0 - mobility_scalar,
+        exposures_by_place=jnp.zeros(P, I32),
+        infected_by_variant=jnp.zeros(V, I32),
+    )

@@ -1,0 +1,45 @@
+"""Data-driven intervention generators (reference: calc/datasets.py:176-275).
+
+The reference turns the Google COVID-19 Community Mobility ZIP into
+weekly ``limit-mobility`` interventions and THL vaccination CSVs into
+``vaccinate`` interventions. Those sources are refreshed by an online
+ETL at container start; in this offline environment the generated
+archive may be absent, in which case both generators return an empty
+list and the variable-defined calendar stands alone.
+
+Archive format (produced by an external ETL into data/files/derived_ivs.npz):
+  json_blob: a JSON object {area_name: [iv_tuple, ...]} for each kind.
+"""
+from __future__ import annotations
+
+import json
+import os
+from functools import lru_cache
+from typing import List, Optional
+
+import numpy as np
+
+from .loaders import FILES_DIR
+from ..config.variables import get_variable
+
+DERIVED_PATH = os.path.join(FILES_DIR, "derived_ivs.npz")
+
+
+@lru_cache(maxsize=None)
+def _derived() -> dict:
+    if not os.path.exists(DERIVED_PATH):
+        return {}
+    z = np.load(DERIVED_PATH, allow_pickle=False)
+    return json.loads(str(z["json_blob"]))
+
+
+def generate_mobility_ivs(variables: Optional[dict] = None) -> List[list]:
+    """Weekly Google-mobility derived ``limit-mobility`` interventions."""
+    area = (variables or {}).get("area_name") or get_variable("area_name")
+    return _derived().get("mobility", {}).get(area, [])
+
+
+def generate_vaccination_ivs(variables: Optional[dict] = None) -> List[list]:
+    """THL vaccination-data derived ``vaccinate`` interventions."""
+    area = (variables or {}).get("area_name") or get_variable("area_name")
+    return _derived().get("vaccinations", {}).get(area, [])

@@ -47,14 +47,22 @@ class CompiledRun:
 
 
 def build_run(variables: Dict[str, Any],
-              cfg_overrides: Optional[Dict[str, Any]] = None) -> CompiledRun:
+              cfg_overrides: Optional[Dict[str, Any]] = None,
+              age_counts_override: Optional[np.ndarray] = None,
+              pad_multiple: int = 1024) -> CompiledRun:
     """Compile a full simulation from resolved variables
-    (the analog of constructing model.Context, main.pyx:1759-1781)."""
+    (the analog of constructing model.Context, main.pyx:1759-1781).
+
+    ``age_counts_override`` swaps in a synthetic population (tests,
+    multi-chip dry runs) without touching the dataset layer."""
     nr_ages = variables["max_age"] + 1
     days = variables["simulation_days"]
     seed = variables["random_seed"]
 
-    age_counts = loaders.get_population_for_area(variables["area_name"])[:nr_ages]
+    if age_counts_override is not None:
+        age_counts = np.asarray(age_counts_override)[:nr_ages]
+    else:
+        age_counts = loaders.get_population_for_area(variables["area_name"])[:nr_ages]
     contacts = loaders.get_contact_tensor()
     band_of_age = contacts.band_of_age(variables["max_age"])
     contact_base = contacts.per_year_participant(variables["max_age"]).astype(np.float32)
@@ -64,7 +72,7 @@ def build_run(variables: Dict[str, Any],
     V = len(variant_names)
 
     pop = compile_population(np.asarray(age_counts), band_of_age,
-                             layout_seed=seed)
+                             pad_multiple=pad_multiple, layout_seed=seed)
     n_padded = len(pop.ages)
 
     ivs = get_active_interventions(variables)

@@ -1,0 +1,75 @@
+"""Mesh construction and sharding layouts.
+
+The reference's parallelism is OS processes: an 8-way multiprocessing
+pool for Monte-Carlo ensembles (calc/simulation.py:376-377) and a
+process per serving request (graphql_schema.py:393-399). Here both axes
+are device-mesh dimensions:
+
+  * ``seed``  — embarrassingly parallel ensemble members (the reference's
+                pool.map axis) ≙ data parallel
+  * ``agent`` — the population axis *within* one simulation, sharded
+                across chips ≙ the tensor/sequence-parallel axis; the
+                only cross-shard traffic is the (V, B) dart-count
+                reduction, the scalar capacity ledgers and the small
+                new-infection exchange — all riding ICI collectives that
+                XLA inserts from these sharding annotations.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_seed: Optional[int] = None, n_agent: Optional[int] = None,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a (seed × agent) mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n_seed is None and n_agent is None:
+        n_agent = 1
+        n_seed = n
+    elif n_seed is None:
+        n_seed = n // n_agent
+    elif n_agent is None:
+        n_agent = n // n_seed
+    assert n_seed * n_agent == n, (n_seed, n_agent, n)
+    dev_grid = np.asarray(devices).reshape(n_seed, n_agent)
+    return Mesh(dev_grid, ("seed", "agent"))
+
+
+def shard_run(run, mesh: Mesh):
+    """Place a CompiledRun's arrays for agent-axis sharding: (N,)-shaped
+    model/state arrays split over 'agent', everything else replicated."""
+    n = run.init_state.age.shape[0]
+
+    def placement(x):
+        if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] == n:
+            spec = P("agent", *([None] * (x.ndim - 1)))
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    arrays = jax.tree.map(placement, run.arrays)
+    state = jax.tree.map(placement, run.init_state)
+    carry = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), run.init_carry)
+    schedules = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), run.schedules)
+    return arrays, schedules, state, carry
+
+
+def batch_placement(mesh: Mesh, n_agents: int):
+    """Sharding rule for seed-batched pytrees: (S, N, ...) → seed × agent,
+    (S, ...) → seed, rest replicated."""
+    def placement(x):
+        if hasattr(x, "ndim") and x.ndim >= 2 and x.shape[1] == n_agents:
+            spec = P("seed", "agent", *([None] * (x.ndim - 2)))
+        elif hasattr(x, "ndim") and x.ndim >= 1:
+            spec = P("seed", *([None] * (x.ndim - 1)))
+        else:
+            spec = P()
+        return NamedSharding(mesh, spec)
+    return placement

@@ -1,0 +1,99 @@
+"""End-to-end engine invariants on a synthetic population."""
+import numpy as np
+
+from reina_tpu.core import constants as C
+
+
+def test_epidemic_happens(tiny_result):
+    out, state, carry = tiny_result
+    all_infected = out.by_group[:, 3].sum(axis=1)
+    assert all_infected[-1] > 100, all_infected
+    assert (np.diff(all_infected) >= 0).all()  # cumulative
+
+
+def test_conservation(tiny_run, tiny_result):
+    out, state, carry = tiny_result
+    n = tiny_run.n_agents
+    # susceptible + all_infected == population, every day
+    susceptible = out.by_group[:, 0].sum(axis=1)
+    all_infected = out.by_group[:, 3].sum(axis=1)
+    np.testing.assert_array_equal(susceptible + all_infected, n)
+    # infected == in agent states incubation/illness/hosp/icu
+    st = np.asarray(state.state)
+    active = np.asarray(state.active)
+    infected_final = out.by_group[-1, 2].sum()
+    in_flight = (active & np.isin(st, [C.INCUBATION, C.ILLNESS,
+                                       C.HOSPITALIZED, C.IN_ICU])).sum()
+    assert infected_final == in_flight
+    # dead + recovered + infected == all_infected
+    dead = out.by_group[:, 9].sum(axis=1)
+    recovered = out.by_group[:, 10].sum(axis=1)
+    infected = out.by_group[:, 2].sum(axis=1)
+    np.testing.assert_array_equal(dead + recovered + infected, all_infected)
+
+
+def test_capacity_ledgers(tiny_result):
+    out, state, carry = tiny_result
+    assert (out.available_hospital_beds >= 0).all()
+    assert (out.available_icu_units >= 0).all()
+    # builds on 2020-03-03 (day 14) visible the following row
+    assert out.total_icu_units[0] == 10
+    assert out.total_icu_units[-1] == 15
+
+
+def test_detection_and_tracing_ran(tiny_result):
+    out, state, carry = tiny_result
+    detected_cum = out.by_group[:, 5].sum(axis=1)
+    assert detected_cum[-1] > 0
+    assert (np.diff(detected_cum) >= 0).all()
+    # contact tracing queue processed after CT mode starts (day 16+)
+    assert out.ct_cases_per_day[17:].sum() > 0
+
+
+def test_vaccination_oldest_first(tiny_result):
+    out, state, carry = tiny_result
+    vacc = out.by_group[:, 1]  # (days, G)
+    assert vacc[-1].sum() > 0
+    # campaign targets 60+: nobody under 60 vaccinated
+    assert vacc[-1, :6].sum() == 0
+    dov = np.asarray(state.day_of_vaccination)
+    ages = np.asarray(state.age)
+    active = np.asarray(state.active)
+    vaccinated = active & (dov >= 0)
+    assert vaccinated.sum() > 0
+    assert ages[vaccinated].min() >= 60
+    # oldest-first: earlier vaccination days have older (or equal) ages;
+    # check the oldest age group saturates before younger ones start
+    first_day = dov[vaccinated].min()
+    ages_first = ages[vaccinated & (dov == first_day)]
+    ages_last = ages[vaccinated & (dov == dov[vaccinated].max())]
+    assert ages_first.mean() >= ages_last.mean()
+
+
+def test_mobility_metric(tiny_result):
+    out, _state, _carry = tiny_result
+    # limit-mobility 30% on day 12 → metric 0.3 from row 13 on
+    assert out.mobility_limitation[0] == 0
+    np.testing.assert_allclose(out.mobility_limitation[-1], 0.3, atol=1e-6)
+
+
+def test_determinism_and_seed_sensitivity(tiny_run):
+    from reina_tpu.core.engine import run_days
+    out1, _, _, _ = run_days(tiny_run, n_days=12, chunk_days=4)
+    out2, _, _, _ = run_days(tiny_run, n_days=12, chunk_days=6)
+    np.testing.assert_array_equal(out1.by_group, out2.by_group)
+    out3, _, _, _ = run_days(tiny_run, n_days=12, chunk_days=6, seed=999)
+    assert (out3.by_group != out1.by_group).any()
+
+
+def test_rt_reasonable(tiny_result):
+    out, _, _ = tiny_result
+    r = out.r
+    assert (r >= 0).all()
+    assert r.max() < 30
+
+
+def test_exposures_match_places(tiny_result):
+    out, _, _ = tiny_result
+    np.testing.assert_array_equal(
+        out.exposures_by_place.sum(axis=1), out.exposed_per_day)

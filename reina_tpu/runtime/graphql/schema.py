@@ -1,0 +1,431 @@
+"""The REINA GraphQL schema (reference: graphql_schema.py) — identical
+queries/mutations so the reina-ui frontend keeps working:
+
+  Query: availableEvents, activeEvents, simulationResults(runId),
+         validationMetrics, mobilityChangeMetrics, area, scenarios
+  Mutation: runSimulation(randomSeed), addEvent(event),
+            deleteEvent(eventId), resetVariables,
+            activateScenario(scenarioId)
+
+The per-request variable store rides in ``info.context['store']``
+(the analog of the reference's Flask session).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import date, timedelta
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from .engine import GraphQLError
+from .. import cache
+from ..runner import REGISTRY, BusyError
+from ...config.interventions import (ChoiceParameter, IntParameter,
+                                     INTERVENTIONS, get_active_interventions,
+                                     get_intervention)
+from ...config.metrics import ALL_METRICS, METRICS, get_metric
+from ...config.variables import VariableStore
+from ...data import loaders
+
+
+# --- typed result objects ---------------------------------------------------
+
+@dataclass
+class Choice:
+    id: str
+    label: str
+
+
+@dataclass
+class EventIntParameter:
+    id: str
+    description: str
+    required: bool
+    min_value: Optional[int] = None
+    max_value: Optional[int] = None
+    unit: Optional[str] = None
+    value: Optional[int] = None
+    graphql_interfaces = ("EventParameter",)
+
+
+@dataclass
+class EventChoiceParameter:
+    id: str
+    description: str
+    required: bool
+    choices: List[Choice] = field(default_factory=list)
+    choice: Optional[Choice] = None
+    graphql_interfaces = ("EventParameter",)
+
+
+@dataclass
+class Event:
+    id: Optional[str]
+    date: Optional[str]
+    description: str
+    type: str
+    parameters: List[Any]
+    modifiable: bool = False
+    modified_by_user: bool = False
+
+
+@dataclass
+class CategorizedIntValues:
+    categories: List[str]
+    values: List[List[Optional[int]]]
+
+
+@dataclass
+class Metric:
+    type: str
+    label: str
+    description: Optional[str] = None
+    unit: Optional[str] = None
+    color: Optional[str] = None
+    is_integer: bool = False
+    is_simulated: bool = True
+    is_categorized: bool = False
+    int_values: Optional[List[Optional[int]]] = None
+    float_values: Optional[List[Optional[float]]] = None
+    categorized_int_values: Optional[CategorizedIntValues] = None
+
+
+@dataclass
+class DailyMetrics:
+    dates: List[str]
+    metrics: List[Metric]
+
+
+@dataclass
+class ScenarioObj:
+    id: str
+    label: str
+    description: Optional[str]
+    active: bool
+    graphql_typename = "Scenario"
+
+
+@dataclass
+class SimulationResults:
+    run_id: str
+    finished: bool
+    predicted_metrics: DailyMetrics
+    end_date: Optional[str] = None
+
+
+@dataclass
+class PopulationAgeGroup:
+    label: str
+    count: int
+
+
+@dataclass
+class SimulationArea:
+    name: str
+    name_long: str
+    total_population: int
+    age_groups: List[PopulationAgeGroup]
+
+
+def iv_to_graphql_obj(iv, obj_id=None) -> Event:
+    """reference graphql_schema.py:116-165."""
+    params: List[Any] = []
+    for p in iv.parameters:
+        if isinstance(p, IntParameter):
+            params.append(EventIntParameter(
+                id=p.id, description=p.label, required=p.required,
+                min_value=p.min_value, max_value=p.max_value, unit=p.unit,
+                value=iv.values.get(p.id)))
+        elif isinstance(p, ChoiceParameter):
+            c = iv.values.get(p.id)
+            params.append(EventChoiceParameter(
+                id=p.id, description=p.label, required=p.required,
+                choices=[Choice(c2.id, c2.label) for c2 in (p.choices or [])],
+                choice=Choice(c.id, c.label) if c else None))
+        else:
+            raise GraphQLError("Unknown parameter type")
+    modifiable = False
+    if iv.id:
+        obj_id = iv.id
+        modifiable = True
+    elif obj_id is not None:
+        obj_id = "N%d" % obj_id
+    return Event(id=obj_id, type=iv.type, description=iv.label,
+                 date=getattr(iv, "date", None), modifiable=modifiable,
+                 parameters=params)
+
+
+def _opt_int_list(series) -> List[Optional[int]]:
+    out = []
+    for v in series:
+        if v is None or (isinstance(v, float) and np.isnan(v)) or v is getattr(np, "nan", None):
+            out.append(None)
+        else:
+            try:
+                if np.isnan(v):
+                    out.append(None)
+                    continue
+            except TypeError:
+                pass
+            out.append(int(v))
+    return out
+
+
+def _opt_float_list(series) -> List[Optional[float]]:
+    out = []
+    for v in series:
+        try:
+            f = float(v)
+        except (TypeError, ValueError):
+            out.append(None)
+            continue
+        out.append(None if np.isnan(f) else f)
+    return out
+
+
+def results_to_metrics(results, only=None):
+    """IFR/CFR + rolling means post-processing
+    (reference graphql_schema.py:168-233)."""
+    df = results["total"].copy()
+    adf = results["age_groups"]
+    dates = [str(x) for x in df.index.date]
+
+    selected = METRICS if only is None else [get_metric(m) for m in only]
+
+    MIN_CASES = 20
+    denom_inf = df.all_infected.clip(lower=MIN_CASES).replace(MIN_CASES, np.inf)
+    denom_det = df.all_detected.clip(lower=MIN_CASES).replace(MIN_CASES, np.inf)
+    df["ifr"] = (df.dead.divide(denom_inf) * 100).rolling(window=7).mean()
+    df["cfr"] = (df.dead.divide(denom_det) * 100).rolling(window=7).mean()
+    df["r"] = df["r"].rolling(window=7).mean()
+    df["new_infections"] = df["new_infections"].rolling(window=14).mean().round()
+    df["detected"] = df["detected"].rolling(window=14).mean().round()
+
+    metrics = []
+    for m in selected:
+        int_values = float_values = categorized = None
+        if m.is_categorized:
+            if adf is None:
+                continue
+            s = adf[m.id]
+            categorized = CategorizedIntValues(
+                categories=[str(c) for c in s.columns],
+                values=[_opt_int_list(row) for row in s.values])
+        else:
+            if m.id not in df.columns:
+                raise GraphQLError("metric %s not found in dataset" % m.id)
+            if m.is_integer:
+                int_values = _opt_int_list(df[m.id])
+            else:
+                float_values = _opt_float_list(df[m.id])
+        metrics.append(Metric(
+            type=m.id, label=m.label, description=m.description, unit=m.unit,
+            color=m.color, is_integer=m.is_integer, is_simulated=m.is_simulated,
+            is_categorized=m.is_categorized, int_values=int_values,
+            float_values=float_values, categorized_int_values=categorized))
+    return dates, metrics
+
+
+def _store(info) -> VariableStore:
+    return info.context["store"]
+
+
+def _get(info, name):
+    return _store(info).get(name)
+
+
+# --- Query resolvers ---------------------------------------------------------
+
+def resolve_available_events(_root, _info):
+    return [iv_to_graphql_obj(iv) for iv in INTERVENTIONS]
+
+
+def resolve_active_events(_root, info):
+    ivs = sorted(get_active_interventions(_store(info).copy_all()),
+                 key=lambda x: x.date)
+    return [iv_to_graphql_obj(iv, idx) for idx, iv in enumerate(ivs)]
+
+
+def resolve_simulation_results(_root, info, run_id):
+    finished = cache.get("%s-finished" % run_id)
+    if finished is None:
+        raise GraphQLError("No simulation run active")
+    if finished:
+        REGISTRY.reap(run_id)
+    error = cache.get("%s-error" % run_id)
+    if error is not None:
+        raise GraphQLError("Simulation error: %s" % error)
+    results = cache.get("%s-results" % run_id)
+    if results is not None:
+        dates, metrics = results_to_metrics(results)
+    else:
+        dates, metrics = [], []
+    end = (date.fromisoformat(_get(info, "start_date"))
+           + timedelta(days=_get(info, "simulation_days"))).isoformat()
+    return SimulationResults(
+        run_id=run_id, finished=bool(finished), end_date=end,
+        predicted_metrics=DailyMetrics(dates=dates, metrics=metrics))
+
+
+def resolve_validation_metrics(_root, info):
+    rows = loaders.get_detected_cases(_get(info, "area_name"))
+    sim_start = date.fromisoformat(_get(info, "start_date"))
+    sim_end = sim_start + timedelta(days=_get(info, "simulation_days"))
+    rows = [r for r in rows if date.fromisoformat(r["date"]) < sim_end]
+    dates = [r["date"] for r in rows]
+
+    detected = np.array([float(r["confirmed"]) for r in rows])
+    detected_diff = np.diff(detected, prepend=np.nan)
+    roll = np.full(len(rows), np.nan)
+    for i in range(13, len(rows)):
+        w = detected_diff[i - 13:i + 1]
+        roll[i] = np.nan if np.isnan(w).any() else np.round(w.mean())
+
+    cols = {
+        "dead": [int(r["dead"]) for r in rows],
+        "in_icu": [int(r["in_icu"]) for r in rows],
+        "in_ward": [int(r["in_ward"]) for r in rows],
+        "all_detected": [int(r["confirmed"]) for r in rows],
+        "detected": [None if np.isnan(v) else int(v) for v in roll],
+    }
+    metrics = []
+    for col, values in cols.items():
+        m = get_metric(col)
+        if not m:
+            raise GraphQLError("no metric found for %s" % col)
+        metrics.append(Metric(
+            type=m.id, label=m.label, description=m.description, unit=m.unit,
+            color=m.color, is_integer=m.is_integer, is_simulated=False,
+            int_values=values))
+    return DailyMetrics(dates=dates, metrics=metrics)
+
+
+def resolve_mobility_change_metrics(_root, info):
+    # Requires the Google-mobility derived dataset; empty when absent
+    # (the reference fetches it with an online ETL at deploy time).
+    return DailyMetrics(dates=[], metrics=[])
+
+
+def resolve_area(_root, info):
+    from ...core.params import make_age_groups
+    name = _get(info, "area_name")
+    counts = loaders.get_population_for_area(name)
+    labels = make_age_groups(len(counts) - 1)
+    group_names = sorted(set(labels))
+    sums = {g: 0 for g in group_names}
+    for age, c in enumerate(counts):
+        sums[labels[age]] += int(c)
+    return SimulationArea(
+        name=name, name_long=_get(info, "area_name_long"),
+        total_population=int(counts.sum()),
+        age_groups=[PopulationAgeGroup(label=g, count=sums[g])
+                    for g in group_names])
+
+
+def resolve_scenarios(_root, info):
+    store = _store(info)
+    scenarios = store.get("scenarios")
+    active_scenario = store.get("active_scenario")
+    customized = [k for k in store.overrides() if k != "active_scenario"]
+    out = []
+    for s in scenarios:
+        active = s["id"] == active_scenario and not customized
+        out.append(ScenarioObj(id=s["id"], label=s["label"],
+                               description=s.get("description"),
+                               active=active))
+    return out
+
+
+# --- Mutations ----------------------------------------------------------------
+
+def mutate_run_simulation(_root, info, random_seed=None):
+    variables = _store(info).overrides()
+    if random_seed is not None:
+        variables["random_seed"] = random_seed
+    try:
+        run_id = REGISTRY.start_run(variables)
+    except BusyError as e:
+        raise GraphQLError(str(e))
+    return {"runId": run_id, "run_id": run_id}
+
+
+def _event_type_value(raw: str) -> str:
+    """EventType enum name (LIMIT_MOBILITY) → intervention type string
+    (the reference builds the enum the same way, graphql_schema.py:20-22)."""
+    raw = str(raw)
+    if raw.isupper():
+        return raw.lower().replace("_", "-")
+    return raw
+
+
+def mutate_add_event(_root, info, event):
+    store = _store(info)
+    iv_type = _event_type_value(event["type"])
+    iv_list = list(store.get("interventions"))
+    obj = get_intervention(iv_type).copy()
+    obj.date = event["date"]
+    for p in event.get("parameters", []):
+        obj.set_param(p["id"], p.get("choice") or p.get("value"))
+    iv_list.append(obj.make_iv_tuple())
+    store.set("interventions", iv_list)
+    return {"id": len(iv_list) - 1}
+
+
+def mutate_delete_event(_root, info, event_id):
+    store = _store(info)
+    iv_objs = get_active_interventions(store.copy_all())
+    for iv in iv_objs:
+        if iv.id and event_id == iv.id:
+            break
+    else:
+        raise GraphQLError("invalid intervention ID")
+    iv_tuple = iv.make_iv_tuple()
+    iv_list = list(store.get("interventions"))
+    for cand in iv_list:
+        if cand == iv_tuple:
+            iv_list.remove(cand)
+            store.set("interventions", iv_list)
+            return {"ok": True}
+    raise GraphQLError("invalid intervention ID")
+
+
+def mutate_reset_variables(_root, info):
+    _store(info).reset()
+    return {"ok": True}
+
+
+def mutate_activate_scenario(_root, info, scenario_id):
+    store = _store(info)
+    scenarios = store.get("scenarios")
+    if scenario_id:
+        for s in scenarios:
+            if scenario_id == s["id"]:
+                break
+        else:
+            raise GraphQLError("invalid scenario ID")
+    else:
+        scenario_id = ""
+    store.reset()
+    store.set("active_scenario", scenario_id)
+    return {"ok": True}
+
+
+SCHEMA = {
+    "query": {
+        "available_events": resolve_available_events,
+        "active_events": resolve_active_events,
+        "simulation_results": resolve_simulation_results,
+        "validation_metrics": resolve_validation_metrics,
+        "mobility_change_metrics": resolve_mobility_change_metrics,
+        "area": resolve_area,
+        "scenarios": resolve_scenarios,
+    },
+    "mutation": {
+        "run_simulation": mutate_run_simulation,
+        "add_event": mutate_add_event,
+        "delete_event": mutate_delete_event,
+        "reset_variables": mutate_reset_variables,
+        "activate_scenario": mutate_activate_scenario,
+    },
+}

@@ -1,0 +1,147 @@
+"""Stdlib HTTP server for the GraphQL API
+(reference: graphql_backend.py — Flask + CORS + signed sessions).
+
+Thread-per-request ``ThreadingHTTPServer``; per-client variable
+sessions ride an HMAC-signed cookie holding the override dict (the
+reference stores the same overrides in a signed Flask session cookie).
+
+  POST /graphql         {"query": ..., "variables": ..., "operationName": ...}
+  GET  /healthz
+"""
+from __future__ import annotations
+
+import base64
+import hashlib
+import hmac
+import json
+import os
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional, Tuple
+
+from .engine import execute
+from .schema import SCHEMA
+from ...config.variables import DEFAULT_VARIABLE_HASH, VariableStore
+
+SECRET = os.environ.get("SECRET_KEY", "reina-tpu-dev-secret").encode()
+COOKIE_NAME = "reina_session"
+
+
+def _sign(payload: bytes) -> str:
+    mac = hmac.new(SECRET, payload, hashlib.sha256).digest()[:16]
+    return (base64.urlsafe_b64encode(payload).decode() + "."
+            + base64.urlsafe_b64encode(mac).decode())
+
+
+def _verify(token: str) -> Optional[bytes]:
+    try:
+        body, mac = token.split(".")
+        payload = base64.urlsafe_b64decode(body)
+        want = hmac.new(SECRET, payload, hashlib.sha256).digest()[:16]
+        if hmac.compare_digest(want, base64.urlsafe_b64decode(mac)):
+            return payload
+    except Exception:
+        pass
+    return None
+
+
+def load_session(cookie_header: Optional[str]) -> VariableStore:
+    if cookie_header:
+        for part in cookie_header.split(";"):
+            name, _, value = part.strip().partition("=")
+            if name == COOKIE_NAME:
+                payload = _verify(value)
+                if payload is not None:
+                    try:
+                        data = json.loads(payload)
+                        # invalidate sessions built against older defaults
+                        if data.get("_hash") == DEFAULT_VARIABLE_HASH:
+                            data.pop("_hash", None)
+                            return VariableStore(data)
+                    except Exception:
+                        pass
+    return VariableStore()
+
+
+def dump_session(store: VariableStore) -> str:
+    data = store.overrides()
+    data["_hash"] = DEFAULT_VARIABLE_HASH
+    return _sign(json.dumps(data, sort_keys=True).encode())
+
+
+class GraphQLHandler(BaseHTTPRequestHandler):
+    server_version = "reina-tpu"
+
+    def _cors(self) -> None:
+        origin = self.headers.get("Origin", "*")
+        self.send_header("Access-Control-Allow-Origin", origin)
+        self.send_header("Access-Control-Allow-Credentials", "true")
+        self.send_header("Access-Control-Allow-Headers",
+                         "Content-Type, Authorization")
+        self.send_header("Access-Control-Allow-Methods", "GET, POST, OPTIONS")
+
+    def do_OPTIONS(self) -> None:  # noqa: N802
+        self.send_response(204)
+        self._cors()
+        self.end_headers()
+
+    def do_GET(self) -> None:  # noqa: N802
+        if self.path.startswith("/healthz"):
+            body = b'{"status": "ok"}'
+            self.send_response(200)
+            self._cors()
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
+        self.send_response(404)
+        self.end_headers()
+
+    def do_POST(self) -> None:  # noqa: N802
+        if not self.path.startswith("/graphql"):
+            self.send_response(404)
+            self.end_headers()
+            return
+        length = int(self.headers.get("Content-Length", 0))
+        try:
+            req = json.loads(self.rfile.read(length) or b"{}")
+        except json.JSONDecodeError:
+            self.send_response(400)
+            self.end_headers()
+            return
+
+        store = load_session(self.headers.get("Cookie"))
+        result = execute(SCHEMA, req.get("query", ""),
+                         variables=req.get("variables"),
+                         operation_name=req.get("operationName"),
+                         context={"store": store})
+        body = json.dumps(result).encode()
+        self.send_response(200)
+        self._cors()
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.send_header(
+            "Set-Cookie",
+            f"{COOKIE_NAME}={dump_session(store)}; Path=/; HttpOnly; SameSite=Lax")
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, fmt, *args):  # quiet access log
+        pass
+
+
+def serve(host: str = "0.0.0.0", port: int = 5000,
+          background: bool = False) -> Optional[ThreadingHTTPServer]:
+    httpd = ThreadingHTTPServer((host, port), GraphQLHandler)
+    if background:
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        return httpd
+    print(f"GraphQL API listening on http://{host}:{port}/graphql")
+    httpd.serve_forever()
+    return None
+
+
+if __name__ == "__main__":
+    serve(port=int(os.environ.get("PORT", 5000)))

@@ -1,0 +1,135 @@
+"""Simulation workers and run registry (reference: simulation_thread.py
++ graphql_schema.py:236,382-408).
+
+The reference spawns one OS process per simulation because its engine
+holds the GIL. Our engine's hot path runs inside XLA (which releases
+the GIL), and the TPU is owned by a single client — so workers are
+*threads* sharing the compiled program cache: a repeat run with the
+same shapes skips compilation entirely. The run-identity, dedup,
+streaming and admission-control semantics are preserved:
+
+  * run_id = deterministic hash of (code, variables, file deps)
+    (calc/utils.py:62-72) → identical configs dedupe across workers
+  * partial results published at most every 0.5 s under
+    ``<run_id>-results`` with a 30 s TTL
+  * at most MAX_CONCURRENT_RUNS live workers, else "System busy"
+  * cooperative cancellation via the step callback
+"""
+from __future__ import annotations
+
+import logging
+import threading
+import time
+import uuid
+from typing import Dict, Optional
+
+from . import cache
+from ..core.engine import ExecutionInterrupted
+from ..simulation import simulate_individuals
+from ..utils.memoize import generate_cache_key
+
+logger = logging.getLogger(__name__)
+
+MAX_CONCURRENT_RUNS = 16
+RESULT_TTL_S = 30
+PUBLISH_INTERVAL_S = 0.5
+
+
+class BusyError(RuntimeError):
+    """Raised when the admission-control limit is hit."""
+
+
+class SimulationThread(threading.Thread):
+    """One simulation run publishing streamed results to the cache."""
+
+    def __init__(self, variables: Dict):
+        super().__init__(daemon=True)
+        self.variables = variables
+        self.uuid = str(uuid.uuid4())
+        self.cache_key = generate_cache_key(
+            simulate_individuals, var_store=variables)
+        self.cache_expiration = RESULT_TTL_S
+        self.cancel_event = threading.Event()
+
+    def start(self) -> None:
+        finished = cache.get("%s-finished" % self.cache_key)
+        if finished is not None:
+            logger.info("%s: already running elsewhere (%s)",
+                        self.uuid, self.cache_key)
+            return
+        cache.set("%s-error" % self.cache_key, None, self.cache_expiration)
+        cache.set("%s-finished" % self.cache_key, False, self.cache_expiration)
+        super().start()
+
+    def cancel(self) -> None:
+        self.cancel_event.set()
+
+    def run(self) -> None:
+        last_publish = [None]
+
+        def publish(total, age_groups=None, by_variant=None, force=False):
+            now = time.time()
+            if force or last_publish[0] is None or \
+                    now - last_publish[0] > PUBLISH_INTERVAL_S:
+                cache.set("%s-results" % self.cache_key,
+                          dict(total=total, age_groups=age_groups,
+                               by_variant=by_variant),
+                          self.cache_expiration)
+                last_publish[0] = now
+
+        def step_callback(df):
+            if self.cancel_event.is_set():
+                return False
+            publish(df)
+            return True
+
+        try:
+            df, adf = simulate_individuals(
+                step_callback=step_callback, callback_day_interval=7,
+                variable_store=self.variables)
+        except ExecutionInterrupted:
+            logger.info("%s: run cancelled", self.uuid)
+        except Exception as e:  # noqa: BLE001 — errors surface to clients
+            cache.set("%s-finished" % self.cache_key, True, self.cache_expiration)
+            cache.set("%s-error" % self.cache_key, str(e), self.cache_expiration)
+            logger.exception("%s: run failed", self.uuid)
+            return
+        else:
+            publish(df, age_groups=adf, force=True)
+        cache.set("%s-finished" % self.cache_key, True, self.cache_expiration)
+
+
+class RunRegistry:
+    """Live-run bookkeeping with admission control."""
+
+    def __init__(self, max_runs: int = MAX_CONCURRENT_RUNS):
+        self.max_runs = max_runs
+        self._runs: Dict[str, SimulationThread] = {}
+        self._lock = threading.Lock()
+
+    def start_run(self, variables: Dict) -> str:
+        with self._lock:
+            for key, t in list(self._runs.items()):
+                if not t.is_alive():
+                    del self._runs[key]
+            if len(self._runs) >= self.max_runs:
+                raise BusyError("System busy")
+            t = SimulationThread(variables)
+            run_id = t.cache_key
+            t.start()
+            if t.ident or not t.is_alive():
+                self._runs[run_id] = t
+            return run_id
+
+    def reap(self, run_id: str) -> None:
+        with self._lock:
+            t = self._runs.pop(run_id, None)
+        if t is not None and t.is_alive():
+            t.cancel()
+
+    def get(self, run_id: str) -> Optional[SimulationThread]:
+        with self._lock:
+            return self._runs.get(run_id)
+
+
+REGISTRY = RunRegistry()

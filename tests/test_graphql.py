@@ -1,0 +1,164 @@
+"""GraphQL engine + REINA schema tests (no simulation run needed)."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from reina_tpu.config.variables import VariableStore
+from reina_tpu.runtime.graphql.engine import execute, parse
+from reina_tpu.runtime.graphql.schema import SCHEMA, results_to_metrics
+
+
+def ctx():
+    return {"store": VariableStore()}
+
+
+def test_parser_basics():
+    doc = parse("""
+      query Foo($id: ID!, $n: Int = 3) {
+        a: field1(x: $id, y: [1, 2.5, "s", true, null, ENUMV])
+        nested { inner @include(if: $flag) }
+        ... frag
+        ... on SomeType { z }
+      }
+      fragment frag on SomeType { w }
+    """)
+    assert len(doc.operations) == 1
+    op = doc.operations[0]
+    assert op.name == "Foo"
+    assert "id" in op.variable_defs
+    assert doc.fragments["frag"].type_condition == "SomeType"
+
+
+def test_execute_simple_schema():
+    schema = {"query": {
+        "hello": lambda _r, _i: "world",
+        "add": lambda _r, _i, a, b: a + b,
+        "obj": lambda _r, _i: {"x": 1, "y": [1, 2, 3]},
+    }}
+    out = execute(schema, "{ hello add(a: 2, b: 40) obj { x y } }")
+    assert out == {"data": {"hello": "world", "add": 42,
+                            "obj": {"x": 1, "y": [1, 2, 3]}}}
+
+
+def test_available_events():
+    out = execute(SCHEMA, """
+      { availableEvents { type description parameters {
+          __typename id description required
+          ... on EventIntParameter { minValue maxValue unit }
+          ... on EventChoiceParameter { choices { id label } }
+      } } }""", context=ctx())
+    assert "errors" not in out
+    events = out["data"]["availableEvents"]
+    types = {e["type"] for e in events}
+    assert types == {
+        "test-all-with-symptoms", "test-only-severe-symptoms",
+        "test-with-contact-tracing", "limit-mobility", "wear-masks",
+        "vaccinate", "import-infections", "import-infections-weekly",
+        "build-new-hospital-beds", "build-new-icu-units"}
+    lm = next(e for e in events if e["type"] == "limit-mobility")
+    place = next(p for p in lm["parameters"] if p["id"] == "place")
+    assert {c["id"] for c in place["choices"]} == {
+        "home", "work", "school", "transport", "leisure", "other"}
+    red = next(p for p in lm["parameters"] if p["id"] == "reduction")
+    assert red["minValue"] == 0 and red["maxValue"] == 100
+
+
+def test_active_events_and_add_delete():
+    c = ctx()
+    out = execute(SCHEMA, "{ activeEvents { id date type modifiable } }",
+                  context=c)
+    assert "errors" not in out
+    n0 = len(out["data"]["activeEvents"])
+    assert n0 > 10
+
+    out = execute(SCHEMA, """
+      mutation { addEvent(event: {date: "2020-12-24", type: LIMIT_MOBILITY,
+        parameters: [{id: "reduction", value: 42}]}) { id } }""",
+        context=c)
+    # enum input arrives as the enum name; the schema maps it
+    if out.get("errors"):
+        # EventType enum uses upper-snake names mapped to type strings
+        assert False, out["errors"]
+    out2 = execute(SCHEMA, "{ activeEvents { date type } }", context=c)
+    dates = [e["date"] for e in out2["data"]["activeEvents"]]
+    assert "2020-12-24" in dates
+
+    # delete it again via its id
+    out3 = execute(SCHEMA, "{ activeEvents { id date } }", context=c)
+    ev = next(e for e in out3["data"]["activeEvents"]
+              if e["date"] == "2020-12-24")
+    out4 = execute(SCHEMA,
+                   'mutation { deleteEvent(eventId: "%s") { ok } }' % ev["id"],
+                   context=c)
+    assert out4["data"]["deleteEvent"]["ok"] is True
+
+
+def test_area_and_scenarios():
+    out = execute(SCHEMA, """
+      { area { name totalPopulation ageGroups { label count } }
+        scenarios { id label active } }""", context=ctx())
+    assert "errors" not in out, out
+    area = out["data"]["area"]
+    assert area["name"] == "HUS"
+    assert area["totalPopulation"] == 1685983
+    assert sum(g["count"] for g in area["ageGroups"]) == 1685983
+    scen = out["data"]["scenarios"]
+    assert scen[0]["id"] == "default" and scen[0]["active"] is True
+
+
+def test_validation_metrics():
+    out = execute(SCHEMA, """
+      { validationMetrics { dates metrics { type intValues isSimulated } } }""",
+                  context=ctx())
+    assert "errors" not in out, out
+    vm = out["data"]["validationMetrics"]
+    assert len(vm["dates"]) > 100
+    types = {m["type"] for m in vm["metrics"]}
+    assert {"dead", "in_icu", "in_ward", "all_detected", "detected"} <= types
+    for m in vm["metrics"]:
+        assert m["isSimulated"] is False
+
+
+def test_activate_scenario_and_reset():
+    c = ctx()
+    out = execute(SCHEMA,
+                  'mutation { activateScenario(scenarioId: "default") { ok } }',
+                  context=c)
+    assert out["data"]["activateScenario"]["ok"] is True
+    out = execute(SCHEMA,
+                  'mutation { activateScenario(scenarioId: "nope") { ok } }',
+                  context=c)
+    assert out["errors"]
+    out = execute(SCHEMA, "mutation { resetVariables { ok } }", context=c)
+    assert out["data"]["resetVariables"]["ok"] is True
+
+
+def test_results_to_metrics_postprocessing():
+    days = 30
+    idx = pd.date_range("2020-02-18", periods=days)
+    df = pd.DataFrame({
+        "dead": np.linspace(0, 60, days).round(),
+        "all_infected": np.linspace(0, 4000, days).round(),
+        "all_detected": np.linspace(0, 900, days).round(),
+        "detected": np.full(days, 30.0),
+        "new_infections": np.full(days, 100.0),
+        "r": np.full(days, 1.4),
+        "susceptible": np.full(days, 10000),
+        "vaccinated": np.zeros(days),
+        "infected": np.full(days, 500),
+        "in_ward": np.full(days, 40),
+        "in_icu": np.full(days, 8),
+        "recovered": np.zeros(days),
+        "available_hospital_beds": np.full(days, 100),
+        "available_icu_units": np.full(days, 10),
+    }, index=idx)
+    dates, metrics = results_to_metrics({"total": df, "age_groups": None})
+    assert len(dates) == days
+    by_id = {m.type: m for m in metrics}
+    # IFR = dead / all_infected, 7-day mean, % — late-window check
+    ifr = by_id["ifr"].float_values
+    assert ifr[0] is None  # rolling window warm-up
+    assert abs(ifr[-1] - 1.5) < 0.1  # 60/4000 = 1.5%
+    # 14-day rolling means leave the first 13 values null
+    det = by_id["detected"].int_values
+    assert det[12] is None and det[20] == 30

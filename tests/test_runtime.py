@@ -1,0 +1,119 @@
+"""Run orchestration: dedup, streaming, admission control, cancellation."""
+import threading
+import time
+
+import pandas as pd
+import pytest
+
+from reina_tpu.runtime import cache, runner
+
+
+@pytest.fixture(autouse=True)
+def fresh_cache():
+    cache.init_backend("memory")
+    yield
+
+
+@pytest.fixture
+def fake_sim(monkeypatch):
+    """Replace the simulation with a quick fake that streams 3 rows."""
+    calls = {"n": 0}
+
+    def fake(step_callback=None, callback_day_interval=1, variable_store=None):
+        calls["n"] += 1
+        idx = pd.date_range("2020-02-18", periods=3)
+        df = pd.DataFrame({"infected": [1, 2, 3]}, index=idx)
+        for i in range(3):
+            if step_callback and not step_callback(df.iloc[:i + 1]):
+                from reina_tpu.core.engine import ExecutionInterrupted
+                raise ExecutionInterrupted()
+            time.sleep(0.01)
+        return df, df
+
+    fake._calcfunc_variables = ["random_seed", "area_name"]
+    fake._calcfunc_funcs = []
+    fake._calcfunc_filedeps = []
+    monkeypatch.setattr(runner, "simulate_individuals", fake)
+    return calls
+
+
+def test_run_and_stream(fake_sim):
+    reg = runner.RunRegistry()
+    run_id = reg.start_run({"random_seed": 1})
+    t = reg.get(run_id)
+    assert t is not None
+    t.join(timeout=10)
+    assert cache.get("%s-finished" % run_id) is True
+    assert cache.get("%s-error" % run_id) is None
+    res = cache.get("%s-results" % run_id)
+    assert res is not None and len(res["total"]) == 3
+    assert res["age_groups"] is not None
+
+
+def test_dedup_same_variables(fake_sim):
+    reg = runner.RunRegistry()
+    r1 = reg.start_run({"random_seed": 7})
+    r2 = reg.start_run({"random_seed": 7})
+    assert r1 == r2  # deterministic run identity
+    r3 = reg.start_run({"random_seed": 8})
+    assert r3 != r1
+
+
+def test_admission_control(fake_sim, monkeypatch):
+    reg = runner.RunRegistry(max_runs=2)
+    # block workers so they stay alive
+    gate = threading.Event()
+
+    def slow(step_callback=None, callback_day_interval=1, variable_store=None):
+        gate.wait(timeout=5)
+        idx = pd.date_range("2020-02-18", periods=1)
+        df = pd.DataFrame({"infected": [1]}, index=idx)
+        return df, df
+
+    slow._calcfunc_variables = ["random_seed"]
+    slow._calcfunc_funcs = []
+    slow._calcfunc_filedeps = []
+    monkeypatch.setattr(runner, "simulate_individuals", slow)
+
+    reg.start_run({"random_seed": 100})
+    reg.start_run({"random_seed": 101})
+    with pytest.raises(runner.BusyError):
+        reg.start_run({"random_seed": 102})
+    gate.set()
+
+
+def test_error_published(monkeypatch):
+    def boom(step_callback=None, callback_day_interval=1, variable_store=None):
+        raise RuntimeError("engine exploded")
+
+    boom._calcfunc_variables = ["random_seed"]
+    boom._calcfunc_funcs = []
+    boom._calcfunc_filedeps = []
+    monkeypatch.setattr(runner, "simulate_individuals", boom)
+    reg = runner.RunRegistry()
+    run_id = reg.start_run({"random_seed": 55})
+    t = reg.get(run_id)
+    t.join(timeout=10)
+    assert cache.get("%s-finished" % run_id) is True
+    assert "engine exploded" in cache.get("%s-error" % run_id)
+
+
+def test_http_server_roundtrip():
+    import json
+    import urllib.request
+
+    from reina_tpu.runtime.graphql.server import serve
+    httpd = serve(host="127.0.0.1", port=0, background=True)
+    port = httpd.server_address[1]
+    try:
+        body = json.dumps({"query": "{ area { name totalPopulation } }"}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/graphql", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            out = json.loads(resp.read())
+            cookie = resp.headers.get("Set-Cookie", "")
+        assert out["data"]["area"]["name"] == "HUS"
+        assert "reina_session=" in cookie
+    finally:
+        httpd.shutdown()

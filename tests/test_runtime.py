@@ -117,3 +117,53 @@ def test_http_server_roundtrip():
         assert "reina_session=" in cookie
     finally:
         httpd.shutdown()
+
+
+def test_shm_cache_backend():
+    """Native shared-memory KV store: TTLs, cross-handle visibility,
+    arena compaction (cpp/shmcache)."""
+    import shutil
+    if shutil.which("make") is None:
+        pytest.skip("no native toolchain")
+    from reina_tpu.runtime.shm import ShmKV
+    try:
+        ShmKV.unlink("reina-pytest")
+    except Exception:
+        pass
+    kv = ShmKV("reina-pytest", 1 << 20)
+    try:
+        kv.set(b"a", b"hello", ttl=60)
+        kv2 = ShmKV("reina-pytest", 1 << 20)
+        assert kv2.get(b"a") == b"hello"
+        kv.set(b"t", b"x", ttl=0.01)
+        time.sleep(0.05)
+        assert kv.get(b"t") is None
+        # expired bulk entry is compacted away under arena pressure
+        kv.set(b"big", b"z" * 100000, ttl=0.001)
+        time.sleep(0.01)
+        for i in range(30):
+            kv.set(b"k%d" % i, b"v" * 20000)
+        assert kv.get(b"k0") == b"v" * 20000
+        assert kv.get(b"a") == b"hello"
+        kv2.close()
+    finally:
+        kv.close()
+        ShmKV.unlink("reina-pytest")
+
+
+def test_shm_cache_interface():
+    """ShmCache pickles arbitrary objects through the native store."""
+    import shutil
+    if shutil.which("make") is None:
+        pytest.skip("no native toolchain")
+    from reina_tpu.runtime.cache import ShmCache
+    from reina_tpu.runtime.shm import ShmKV
+    try:
+        ShmKV.unlink("reina-cache")
+    except Exception:
+        pass
+    c = ShmCache()
+    c.set("run1-results", {"total": [1, 2, 3]}, timeout=30)
+    assert c.get("run1-results") == {"total": [1, 2, 3]}
+    assert c.get("missing") is None
+    ShmKV.unlink("reina-cache")

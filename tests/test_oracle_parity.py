@@ -1,0 +1,117 @@
+"""Distributional parity: vectorized engine vs the sequential oracle.
+
+The engine's exposure model (group-aggregated binomial darts with
+receiver thinning) is provably mean-equivalent to the reference's
+per-contact trials; these tests check the whole coupled system end to
+end on a small population across seeds.
+"""
+import numpy as np
+import pytest
+
+from reina_tpu.core.engine import build_run, run_days
+from reina_tpu.core.params import compile_disease, create_disease_params
+from reina_tpu.data import loaders
+from reina_tpu.testing import synthetic_age_counts, synthetic_variables
+
+N_AGENTS = 3000
+DAYS = 30
+IMPORT_DAYS = 5
+IMPORTS_PER_DAY = 4
+SEEDS = 6
+
+
+def _variables():
+    return synthetic_variables(
+        days=DAYS, seed=0,
+        interventions=[
+            ["import-infections", "2020-02-18", IMPORTS_PER_DAY],
+            ["import-infections", "2020-02-19", IMPORTS_PER_DAY],
+            ["import-infections", "2020-02-20", IMPORTS_PER_DAY],
+            ["import-infections", "2020-02-21", IMPORTS_PER_DAY],
+            ["import-infections", "2020-02-22", IMPORTS_PER_DAY],
+        ],
+        hospital_beds=60, icu_units=10,
+        variants=[],
+        imported_infection_ages=[[0, 1.0]],
+    )
+
+
+@pytest.fixture(scope="module")
+def engine_curves():
+    v = _variables()
+    run = build_run(v, age_counts_override=synthetic_age_counts(N_AGENTS),
+                    pad_multiple=256)
+    curves = []
+    for s in range(SEEDS):
+        out, _, _, _ = run_days(run, chunk_days=DAYS - 1, seed=1000 + s)
+        curves.append({
+            "all_infected": out.by_group[:, 3].sum(axis=1),
+            "dead": out.by_group[:, 9].sum(axis=1),
+            "in_ward": out.by_group[:, 8].sum(axis=1),
+            "in_icu": out.by_group[:, 6].sum(axis=1),
+        })
+    return curves
+
+
+@pytest.fixture(scope="module")
+def oracle_curves():
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from oracle import Oracle
+    v = _variables()
+    dis, _ = compile_disease(create_disease_params(v), 101)
+    contacts = loaders.get_contact_tensor()
+    band_of_age = contacts.band_of_age(100)
+    base = contacts.per_year_participant(100)
+    curves = []
+    for s in range(SEEDS):
+        o = Oracle(synthetic_age_counts(N_AGENTS), dis, base, band_of_age,
+                   beds=60, icu=10, seed=2000 + s,
+                   daily_imports=IMPORTS_PER_DAY,
+                   import_days=set(range(IMPORT_DAYS)))
+        hist = o.run(DAYS - 1)
+        curves.append({k: np.array([h[k] for h in hist])
+                       for k in hist[0]})
+    return curves
+
+
+def _mean_se(curves, key, day):
+    vals = np.array([c[key][day] for c in curves], dtype=float)
+    return vals.mean(), vals.std(ddof=1) / np.sqrt(len(vals))
+
+
+def test_epidemic_growth_matches(engine_curves, oracle_curves):
+    """Cumulative-infection curves agree within sampling error bounds."""
+    for day in (10, 20, DAYS - 1):
+        me, se_e = _mean_se(engine_curves, "all_infected", day)
+        mo, se_o = _mean_se(oracle_curves, "all_infected", day)
+        tol = 4 * np.hypot(se_e, se_o) + 0.15 * max(mo, 10)
+        assert abs(me - mo) <= tol, (
+            f"day {day}: engine {me:.1f}±{se_e:.1f} vs oracle {mo:.1f}±{se_o:.1f}")
+
+
+def test_growth_rate_matches(engine_curves, oracle_curves):
+    """Exponential growth rate (log-slope of cumulative infections)."""
+    def rate(curves):
+        out = []
+        for c in curves:
+            y = c["all_infected"].astype(float)
+            t0, t1 = 12, DAYS - 1
+            if y[t0] > 0 and y[t1] > y[t0]:
+                out.append((np.log(y[t1]) - np.log(y[t0])) / (t1 - t0))
+        return np.array(out)
+
+    re, ro = rate(engine_curves), rate(oracle_curves)
+    assert len(re) >= 3 and len(ro) >= 3
+    tol = 4 * np.hypot(re.std(ddof=1) / np.sqrt(len(re)),
+                       ro.std(ddof=1) / np.sqrt(len(ro))) + 0.03
+    assert abs(re.mean() - ro.mean()) <= tol, (re.mean(), ro.mean())
+
+
+def test_hospital_load_same_scale(engine_curves, oracle_curves):
+    """Ward occupancy stays on the same scale (it is a rare-event tail
+    of the severity chain; only a loose check is statistically fair)."""
+    peak_e = np.mean([c["in_ward"].max() for c in engine_curves])
+    peak_o = np.mean([c["in_ward"].max() for c in oracle_curves])
+    assert abs(peak_e - peak_o) <= max(4.0, 0.8 * max(peak_e, peak_o))

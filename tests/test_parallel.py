@@ -1,0 +1,47 @@
+"""Ensemble vmap + multi-chip mesh sharding (8 virtual CPU devices)."""
+import numpy as np
+import pytest
+
+import jax
+
+
+def test_ensemble_vmap(tiny_run):
+    from reina_tpu.ensemble import run_ensemble
+    outs = run_ensemble(tiny_run, seeds=[1, 2, 3], batch_size=3, n_days=12)
+    assert outs.by_group.shape[:2] == (3, 11)
+    final = outs.by_group[:, -1, 3].sum(axis=1)  # all_infected per seed
+    assert (final > 0).all()
+    # different seeds → different trajectories
+    assert len(set(final.tolist())) > 1
+
+
+def test_ensemble_matches_single(tiny_run):
+    """A vmapped member equals the single-run path with the same seed."""
+    from reina_tpu.core.engine import run_days
+    from reina_tpu.ensemble import run_ensemble
+    single, _, _, _ = run_days(tiny_run, n_days=10, chunk_days=9,
+                               seed=42)
+    batch = run_ensemble(tiny_run, seeds=[42], batch_size=1, n_days=10)
+    np.testing.assert_array_equal(single.by_group[1:], batch.by_group[0])
+
+
+def test_dryrun_multichip():
+    assert len(jax.devices()) == 8, "conftest should provide 8 cpu devices"
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry",
+        os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
+
+
+def test_sharded_ensemble(tiny_run):
+    from reina_tpu.ensemble import run_ensemble
+    from reina_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(n_seed=2, n_agent=4)
+    outs = run_ensemble(tiny_run, seeds=[5, 6], batch_size=2, mesh=mesh,
+                        n_days=8)
+    assert outs.by_group.shape[:2] == (2, 7)
+    assert outs.by_group[:, -1, 3].sum() > 0

@@ -1,4 +1,7 @@
 """Microbenchmark the day-step's building blocks on the real device."""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import jax

@@ -1,0 +1,80 @@
+"""Mid-run checkpoint/resume.
+
+The reference has no engine-level checkpointing — a run always restarts
+at day 0 (SURVEY §5.4); its only resume-equivalent is the memoization
+cache. Here the full simulation state (agent arrays + scalar ledgers)
+snapshots to a single npz, so long ensemble/calibration runs survive
+preemption and a run can be forked from any day. Determinism holds:
+resuming at day d reproduces the uninterrupted run exactly, because the
+RNG is counter-based — keys derive from (seed, day), not from a stream
+position.
+"""
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from .state import AgentState, DayCarry
+
+FORMAT_VERSION = 1
+
+
+def save_checkpoint(path: str, state: AgentState, carry: DayCarry,
+                    outputs=None) -> None:
+    """``outputs`` (optional): the stacked DayOutputs rows emitted so
+    far, so a resumed run returns the complete output table."""
+    arrays = {}
+    for name, val in zip(AgentState._fields, state):
+        arrays["state__" + name] = np.asarray(val)
+    for name, val in zip(DayCarry._fields, carry):
+        arrays["carry__" + name] = np.asarray(val)
+    if outputs is not None:
+        for name, val in zip(type(outputs)._fields, outputs):
+            arrays["out__" + name] = np.asarray(val)
+    arrays["format_version"] = np.int32(FORMAT_VERSION)
+    # atomic write: tmp file + rename
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp.npz")
+    os.close(fd)
+    try:
+        with open(tmp, "wb") as f:
+            np.savez_compressed(f, **arrays)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def load_checkpoint(path: str):
+    from .step import DayOutputs
+
+    z = np.load(path, allow_pickle=False)
+    if int(z["format_version"]) != FORMAT_VERSION:
+        raise ValueError(f"unsupported checkpoint version in {path}")
+    state = AgentState(*(z["state__" + n] for n in AgentState._fields))
+    carry = DayCarry(*(z["carry__" + n] for n in DayCarry._fields))
+    outputs = None
+    if "out__by_group" in z.files:
+        outputs = DayOutputs(*(z["out__" + n] for n in DayOutputs._fields))
+    return (jax.tree.map(np.asarray, state), jax.tree.map(np.asarray, carry),
+            outputs)
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    cands = [f for f in os.listdir(ckpt_dir)
+             if f.startswith("day_") and f.endswith(".npz")]
+    if not cands:
+        return None
+    best = max(cands, key=lambda f: int(f[4:-4]))
+    return os.path.join(ckpt_dir, best)
+
+
+def checkpoint_path(ckpt_dir: str, day: int) -> str:
+    return os.path.join(ckpt_dir, f"day_{day:05d}.npz")

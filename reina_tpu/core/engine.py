@@ -210,15 +210,23 @@ def check_problems(carry: DayCarry) -> None:
 
 def run_days(run: CompiledRun, n_days: Optional[int] = None,
              chunk_days: int = 32, day_callback=None,
-             seed: Optional[int] = None):
+             seed: Optional[int] = None,
+             checkpoint_dir: Optional[str] = None,
+             checkpoint_every: int = 64,
+             resume: bool = True):
     """Execute the run; returns stacked DayOutputs (numpy pytree) with a
     leading day axis of length ``n_days`` (row 0 = initial snapshot —
     mirroring the reference's emit-then-iterate loop,
     calc/simulation.py:194-270).
 
     ``day_callback(day_idx, outputs_so_far)`` fires after each chunk;
-    returning False cancels the run.
+    returning False cancels the run. With ``checkpoint_dir`` set, full
+    simulation state snapshots every ``checkpoint_every`` days and a
+    fresh call resumes from the newest snapshot (bit-identical to an
+    uninterrupted run — the RNG is counter-based over (seed, day)).
     """
+    from . import checkpoint as ckpt
+
     n_days = n_days if n_days is not None else run.days
     base_key = jr.PRNGKey(run.random_seed if seed is None else seed)
     state, carry = run.init_state, run.init_carry
@@ -226,11 +234,22 @@ def run_days(run: CompiledRun, n_days: Optional[int] = None,
     snap = snapshot_outputs(run.cfg, run.arrays, state, carry,
                             run.schedules.mobility_scalar[0])
     rows = [jax.tree.map(lambda x: np.asarray(x)[None], snap)]
-
-    steps_left = n_days - 1
     day = 0
+
+    if checkpoint_dir and resume:
+        latest = ckpt.latest_checkpoint(checkpoint_dir)
+        if latest:
+            state, carry, saved_out = ckpt.load_checkpoint(latest)
+            state = jax.tree.map(jnp.asarray, state)
+            carry = jax.tree.map(jnp.asarray, carry)
+            day = int(carry.day)
+            if saved_out is not None:
+                rows = [saved_out]
+
+    steps_left = (n_days - 1) - day
     import time
     chunk_times = []
+    since_ckpt = 0
     while steps_left > 0:
         this_chunk = min(chunk_days, steps_left)
         t0 = time.perf_counter()
@@ -242,6 +261,15 @@ def run_days(run: CompiledRun, n_days: Optional[int] = None,
         rows.append(outs)
         day += this_chunk
         steps_left -= this_chunk
+        since_ckpt += this_chunk
+        if checkpoint_dir and (since_ckpt >= checkpoint_every
+                               or steps_left == 0):
+            stacked = jax.tree.map(lambda *xs: np.concatenate(xs, 0), *rows)
+            ckpt.save_checkpoint(ckpt.checkpoint_path(checkpoint_dir, day),
+                                 jax.tree.map(np.asarray, state),
+                                 jax.tree.map(np.asarray, carry), stacked)
+            rows = [stacked]
+            since_ckpt = 0
         if day_callback is not None:
             partial_out = jax.tree.map(
                 lambda *xs: np.concatenate(xs, axis=0), *rows)

@@ -1,0 +1,61 @@
+"""Parameter-distribution sampling API (reference main.pyx:2047-2101)."""
+import numpy as np
+import pytest
+
+from reina_tpu.config.variables import VARIABLE_DEFAULTS
+from reina_tpu.sampling import sample_distribution
+
+
+@pytest.fixture(scope="module")
+def variables():
+    return dict(VARIABLE_DEFAULTS)
+
+
+def test_severity_distribution(variables):
+    c = sample_distribution("symptom_severity", 80, None, variables)
+    p = c / c.sum()
+    # age 80: p_symptomatic = 0.90 → asymptomatic share ≈ 0.10
+    assert abs(p.get("ASYMPTOMATIC", 0) - 0.10) < 0.02
+    # fatal share ≈ dohc path + chain; with p_doh=0.5 dominant ≈ 0.45+
+    assert p.get("FATAL", 0) > 0.3
+
+
+def test_incubation_period(variables):
+    c = sample_distribution("incubation_period", 30, None, variables)
+    vals = np.repeat(c.index.to_numpy(), c.to_numpy())
+    assert abs(vals.mean() - 5.1) < 0.3  # gamma mean 5.1
+    assert abs(vals.std() / vals.mean() - 0.86) < 0.1
+
+
+def test_contacts_per_day(variables):
+    c = sample_distribution("contacts_per_day", 10, None, variables)
+    vals = np.repeat(c.index.to_numpy(), c.to_numpy())
+    assert 0 <= vals.min() and vals.max() <= 100
+    assert vals.mean() > 5  # school-age children have many contacts
+
+
+def test_periods_by_severity(variables):
+    ill_mild = sample_distribution("illness_period", 30, "MILD", variables)
+    ill_sev = sample_distribution("illness_period", 30, "SEVERE", variables)
+    m_mild = np.repeat(ill_mild.index.to_numpy(), ill_mild.to_numpy()).mean()
+    m_sev = np.repeat(ill_sev.index.to_numpy(), ill_sev.to_numpy()).mean()
+    # severe cases spend only ratio_before_hosp (30%) of o2r in illness
+    assert m_sev < m_mild
+    np.testing.assert_allclose(m_mild, 21.0, rtol=0.1)
+    np.testing.assert_allclose(m_sev, 21.0 * 0.3, rtol=0.15)
+
+    icu = sample_distribution("icu_period", 30, "CRITICAL", variables)
+    m_icu = np.repeat(icu.index.to_numpy(), icu.to_numpy()).mean()
+    np.testing.assert_allclose(m_icu, 21.0 * (1 - 0.3 - 0.15), rtol=0.15)
+
+
+def test_infectiousness_curve(variables):
+    s = sample_distribution("infectiousness", 0, None, variables)
+    assert s.idxmax() in (-1, 0)
+    assert s.sum() > 0.99  # the published curve sums to ~1
+
+
+def test_webui_served():
+    from reina_tpu.webui import app_html
+    html = app_html()
+    assert b"REINA-TPU" in html and b"/graphql" in html

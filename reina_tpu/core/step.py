@@ -35,6 +35,7 @@ import numpy as np
 from . import constants as C
 from .state import AgentState, DayCarry
 from ..ops.clamped import clamped_counter_grants
+from ..ops.random import binomial_fixed, gamma_fixed, searchsorted_fixed
 
 I32 = jnp.int32
 F32 = jnp.float32
@@ -167,9 +168,9 @@ def _severity_draw(key, arrays: ModelArrays, variant, age, dov, day):
 
 def _binomial_split(key, totals, probs):
     """Multinomial across the trailing axis of ``probs`` via sequential
-    conditional binomials. totals: (...,) float; probs: (..., B) with
-    sum ≤ 1 (the remainder is the discard category).
-    Returns counts (..., B) float32."""
+    conditional binomials (while-free fixed-round sampler — see
+    ops/random.py). totals: (...,) float; probs: (..., B) with sum ≤ 1
+    (the remainder is the discard category). Returns (..., B) float32."""
     B = probs.shape[-1]
     rem = totals
     remp = jnp.ones_like(totals)
@@ -178,7 +179,7 @@ def _binomial_split(key, totals, probs):
         pb = probs[..., b]
         cond = jnp.where(remp > 1e-9, pb / jnp.maximum(remp, 1e-9), 0.0)
         cond = jnp.clip(cond, 0.0, 1.0)
-        n_b = jr.binomial(jr.fold_in(key, b), rem, cond)
+        n_b = binomial_fixed(jr.fold_in(key, b), rem, cond)
         n_b = jnp.where(rem > 0, n_b, 0.0)
         outs.append(n_b)
         rem = rem - n_b
@@ -472,11 +473,11 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
                         problem | C.PROBLEM_IMPORT_BUFFER_OVERFLOW, problem)
     slot_ids = jnp.arange(M, dtype=I32)
     slot_valid = slot_ids < tot_imports
-    slot_variant = jnp.searchsorted(cum_imp, slot_ids, side="right").astype(I32)
+    slot_variant = searchsorted_fixed(cum_imp, slot_ids, side="right")
     slot_variant = jnp.clip(slot_variant, 0, V - 1)
 
     u_imp = jr.uniform(k_imp, (M, cfg.import_attempts, 2), F32)
-    cls = jnp.searchsorted(arrays.import_cum_p, u_imp[..., 0], side="left")
+    cls = searchsorted_fixed(arrays.import_cum_p, u_imp[..., 0], side="left")
     cls = jnp.clip(cls, 0, arrays.import_cum_p.shape[0] - 1)
     lo = arrays.age_start[arrays.import_min_age[cls]]
     hi = arrays.age_start[jnp.minimum(arrays.import_max_age[cls] + 1, A)]
@@ -530,7 +531,7 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         lo_c = jnp.where(lo_i > 0, cum_v[jnp.maximum(lo_i - 1, 0)], 0.0)
         hi_c = cum_v[jnp.maximum(hi_i - 1, 0)]
         x = lo_c + u_src * (hi_c - lo_c)
-        pos_v = jnp.searchsorted(cum_v, x, side="left").astype(I32)
+        pos_v = searchsorted_fixed(cum_v, x, side="left")
         src_v = arrays.age_perm[jnp.clip(pos_v, 0, N - 1)]
         ok_v = (v_i == v) & (hi_c > lo_c) & slot_used
         infector_new = jnp.where(ok_v, src_v, infector_new)
@@ -544,12 +545,12 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     sev_new, outside_new = _severity_draw(k_sev, arrays, variant_new, age, dov, day)
     kappa_inc = 1.0 / (C.INCUBATION_CV ** 2)
     theta_inc = (C.INCUBATION_CV ** 2) * arrays.mu_incub[variant_new]
-    g_inc = jr.gamma(k_gam1, kappa_inc, (N,), F32) * theta_inc
+    g_inc = gamma_fixed(k_gam1, kappa_inc, (N,)) * theta_inc
     incub_days = _round_to_int(g_inc)
     kappa_o2r = 1.0 / (C.ONSET_TO_REMOVED_CV ** 2)
     mu_o2r = jnp.where(sev_new == C.FATAL, arrays.mu_death[variant_new],
                        arrays.mu_recov[variant_new])
-    g_o2r = jr.gamma(k_gam2, kappa_o2r, (N,), F32) * (C.ONSET_TO_REMOVED_CV ** 2) * mu_o2r
+    g_o2r = gamma_fixed(k_gam2, kappa_o2r, (N,)) * (C.ONSET_TO_REMOVED_CV ** 2) * mu_o2r
 
     new_st = jnp.where(newly, C.INCUBATION, new_st)
     sev_out = jnp.where(newly, sev_new.astype(I32), sev)

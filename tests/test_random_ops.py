@@ -1,0 +1,76 @@
+"""While-free samplers vs reference distributions (scipy ground truth)."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+import jax.random as jr
+from scipy import stats
+
+from reina_tpu.ops.random import (binomial_fixed, gamma_fixed,
+                                  searchsorted_fixed)
+
+N = 200_000
+
+
+@pytest.mark.parametrize("kappa", [1.35, 4.94, 2.0])
+def test_gamma_fixed_matches(kappa):
+    x = np.asarray(gamma_fixed(jr.PRNGKey(0), kappa, (N,)))
+    assert np.isfinite(x).all() and (x > 0).all()
+    # moments
+    np.testing.assert_allclose(x.mean(), kappa, rtol=0.01)
+    np.testing.assert_allclose(x.var(), kappa, rtol=0.03)
+    # KS test against the exact distribution
+    ks = stats.kstest(x[:20000], "gamma", args=(kappa,))
+    assert ks.pvalue > 1e-4, ks
+
+
+@pytest.mark.parametrize("n,p", [(50, 0.3), (1000, 0.02), (5, 0.5),
+                                 (100000, 0.001), (40, 0.9), (200, 0.35)])
+def test_binomial_fixed_matches(n, p):
+    ns = jnp.full((N,), float(n))
+    ps = jnp.full((N,), float(p))
+    x = np.asarray(binomial_fixed(jr.PRNGKey(1), ns, ps))
+    assert (x >= 0).all() and (x <= n).all()
+    mean, var = n * p, n * p * (1 - p)
+    assert abs(x.mean() - mean) < 5 * np.sqrt(var / N) + 1e-3, (x.mean(), mean)
+    np.testing.assert_allclose(x.var(), var, rtol=0.05)
+    # chi-square on the histogram vs exact pmf
+    lo = max(0, int(mean - 5 * np.sqrt(var)))
+    hi = min(n, int(mean + 5 * np.sqrt(var))) + 1
+    ks = np.arange(lo, hi)
+    pmf = stats.binom.pmf(ks, n, p)
+    obs = np.array([(x == k).sum() for k in ks], dtype=float)
+    keep = pmf * N > 10
+    if keep.sum() > 3:
+        chi2 = (((obs - pmf * N) ** 2) / (pmf * N))[keep].sum()
+        dof = keep.sum() - 1
+        # generous: catches gross sampler bugs, tolerates edge binning
+        assert chi2 < dof + 8 * np.sqrt(2 * dof), (chi2, dof)
+
+
+def test_binomial_zero_and_full():
+    x = np.asarray(binomial_fixed(jr.PRNGKey(2), jnp.full((1000,), 20.0),
+                                  jnp.zeros(1000)))
+    assert (x == 0).all()
+    x = np.asarray(binomial_fixed(jr.PRNGKey(3), jnp.full((1000,), 20.0),
+                                  jnp.ones(1000)))
+    assert (x == 20).all()
+
+
+def test_searchsorted_fixed_matches():
+    rng = np.random.default_rng(0)
+    arr = np.sort(rng.uniform(0, 1, 10000)).astype(np.float32)
+    q = rng.uniform(-0.1, 1.1, 5000).astype(np.float32)
+    q = np.concatenate([q, arr[:100]])  # exact hits exercise side='left'
+    want = np.searchsorted(arr, q, side="left")
+    got = np.asarray(searchsorted_fixed(jnp.asarray(arr), jnp.asarray(q)))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("n,p", [(2_000_000, 0.1), (100000, 0.4)])
+def test_binomial_fixed_large_n(n, p):
+    ns = jnp.full((50000,), float(n))
+    ps = jnp.full((50000,), float(p))
+    x = np.asarray(binomial_fixed(jr.PRNGKey(4), ns, ps))
+    mean, var = n * p, n * p * (1 - p)
+    assert abs(x.mean() - mean) < 6 * np.sqrt(var / 50000)
+    np.testing.assert_allclose(x.var(), var, rtol=0.05)

@@ -184,7 +184,10 @@ def create_pairs(lst):
     return [(int(a), float(w)) for a, w in lst]
 
 
-@partial(jax.jit, static_argnums=(0, 6))
+from ..utils.compile import engine_jit
+
+
+@engine_jit(static_argnums=(0, 6))
 def run_chunk(cfg: EngineConfig, arrays: ModelArrays, schedules: Schedules,
               state: AgentState, carry: DayCarry, base_key, chunk_len: int,
               day0):

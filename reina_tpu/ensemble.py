@@ -21,7 +21,10 @@ from .core.step import SchedRow, day_step
 from .core.state import DayCarry
 
 
-@partial(jax.jit, static_argnums=(0,))
+from .utils.compile import engine_jit
+
+
+@engine_jit(static_argnums=(0,))
 def _ensemble_scan(cfg, arrays, schedules, state, carry, keys):
     """Scan all days for a batch of seeds: vmap(day_step) under lax.scan."""
     def body(sc, row):

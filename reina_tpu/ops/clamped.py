@@ -1,5 +1,5 @@
 """Clamped-counter prefix scan: exact sequential scarce-resource semantics
-as a parallel associative scan.
+with parallel prefix primitives.
 
 The reference engine hands out hospital beds / ICU units first-come-
 first-served while sweeping agents in cyclic order from a random start
@@ -7,27 +7,48 @@ offset (main.pyx:617-648, 1982-1992): at each position a *release*
 returns a unit (counter += 1) and a *request* is granted iff the
 counter is positive (counter -= 1, floored at 0).
 
-That sequential automaton is a composition of functions of the form
-``f(x) = max(x + a, m)``, which are closed under composition::
+The sequential automaton is b_i = max(b_{i-1} + a_i, m_i) — a
+composition of max-plus affine maps f(x) = max(x + a, m). Composing
+f_0 … f_{i-1} onto the initial balance has the closed form
 
-    (g ∘ f)(x) = max(x + a_f + a_g, max(m_f + a_g, m_g))
+    arriving_i = S⁻_i + max(init, max_{j<i}(m_j − S_j))
 
-so the whole sweep is one ``lax.associative_scan`` — O(N) work,
-O(log N) depth, exact sequential semantics on a parallel machine.
+with S the inclusive prefix sum of a and S⁻ its exclusive version —
+i.e. one ``cumsum`` plus one ``cummax``. Those are XLA fast-path
+cumulative ops; a generic-monoid ``lax.associative_scan`` (the previous
+implementation) de-optimizes the entire surrounding program on this
+TPU toolchain (tools/profile_morph.py: 0.06 ms → 1475 ms).
+
+The cyclic sweep order is handled without any rotation: positions are
+split into the segments [offset, N) and [0, offset); events outside a
+segment become identities (a=0, m=−∞), which are also the identities of
+cumsum/cummax, so each segment is a masked prefix over the *original*
+order and the second segment starts from the first segment's final
+balance.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
+from jax import lax
 
 _NEG = jnp.int32(-(1 << 30))
 
 
-def _compose(f, g):
-    """Apply f first, then g; both elementwise (a, m) pairs."""
-    a_f, m_f = f
-    a_g, m_g = g
-    return a_f + a_g, jnp.maximum(m_f + a_g, m_g)
+def _masked_prefix(a, m, init):
+    """arriving_i (before position i's own event) and the final balance
+    for one masked segment, given per-position (a, m) with identities
+    (0, −∞) outside the segment."""
+    s_incl = jnp.cumsum(a)
+    s_excl = s_incl - a
+    key = m - s_incl
+    run_max = lax.cummax(key)
+    # exclusive shift: positions see the max of keys strictly before them
+    run_max_excl = jnp.concatenate([jnp.full((1,), _NEG, jnp.int32),
+                                    run_max[:-1]])
+    arriving = s_excl + jnp.maximum(init, run_max_excl)
+    final = s_incl[-1] + jnp.maximum(init, run_max[-1]) \
+        if a.shape[0] else init
+    return arriving, final
 
 
 def clamped_counter_grants(releases, requests, init, offset):
@@ -41,37 +62,28 @@ def clamped_counter_grants(releases, requests, init, offset):
         wraps (the reference's random start index, main.pyx:1988).
 
     Returns:
-      granted: (N,) bool — request approved (counter was > 0 on arrival).
+      granted: (N,) bool — request approved (counter was > 0 on arrival,
+        counting the position's own release first).
       final: scalar int32 — counter value after the full sweep.
-
-    A position with both a release and a request applies the release
-    first (the reference's to-ICU path frees the ward bed before
-    claiming the ICU unit, but those hit *different* counters; within
-    one counter an agent only ever has one event).
     """
     n = releases.shape[0]
     releases = releases.astype(jnp.int32)
+    init = jnp.asarray(init, jnp.int32)
 
-    # Per-position transfer function. Release: x -> x + r. Request:
-    # x -> max(x - 1, 0). Combined (release then request):
-    # x -> max(x + r - 1, 0) when requesting.
     a = releases - requests.astype(jnp.int32)
     m = jnp.where(requests, 0, _NEG)
 
-    # Rotate into sweep order.
-    a_r = jnp.roll(a, -offset)
-    m_r = jnp.roll(m, -offset)
-    rel_r = jnp.roll(releases, -offset)
-    req_r = jnp.roll(requests, -offset)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    in_a = idx >= offset
 
-    a_in, m_in = jax.lax.associative_scan(_compose, (a_r, m_r))
-    # Inclusive scan → value after position i: max(init + a_in, m_in).
-    after = jnp.maximum(init + a_in, m_in)
-    # Value arriving at position i (before its own event) is the value
-    # after position i-1; init for position 0.
-    arriving = jnp.concatenate([jnp.full((1,), init, jnp.int32), after[:-1]])
-    granted_r = req_r & ((arriving + rel_r) > 0)
-    final = after[-1]
+    a_seg_a = jnp.where(in_a, a, 0)
+    m_seg_a = jnp.where(in_a, m, _NEG)
+    arriving_a, final_a = _masked_prefix(a_seg_a, m_seg_a, init)
 
-    granted = jnp.roll(granted_r, offset)
-    return granted, final
+    a_seg_b = jnp.where(in_a, 0, a)
+    m_seg_b = jnp.where(in_a, _NEG, m)
+    arriving_b, final_b = _masked_prefix(a_seg_b, m_seg_b, final_a)
+
+    arriving = jnp.where(in_a, arriving_a, arriving_b)
+    granted = requests & ((arriving + releases) > 0)
+    return granted, final_b

@@ -1,0 +1,50 @@
+"""Backend-aware jit helper.
+
+On this TPU toolchain, XLA's scheduler inserts forced delays when its
+memory-pressure estimate crosses a threshold; for the engine's large
+day-step program that heuristic misfires catastrophically (measured
+~20,000× slowdown and ~10× compile time — see tools/profile_morph.py
+and docs/performance.md). ``engine_jit`` compiles with the heuristic's
+delay injection disabled on TPU backends; other backends get a plain
+jit (the option is TPU-specific).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+
+TPU_COMPILER_OPTIONS: Dict[str, Any] = {
+    "xla_tpu_force_delay_over_memory_pressure": "false",
+}
+
+
+def _is_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def engine_jit(fn=None, *, static_argnums=()):
+    """Like jax.jit, but resolves TPU-specific compiler options at first
+    call (the active backend isn't known at import time — tests switch
+    to CPU after import)."""
+    if fn is None:
+        return functools.partial(engine_jit, static_argnums=static_argnums)
+
+    compiled = {}
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        backend = "tpu" if _is_tpu() else "other"
+        jitted = compiled.get(backend)
+        if jitted is None:
+            opts = TPU_COMPILER_OPTIONS if backend == "tpu" else None
+            jitted = jax.jit(fn, static_argnums=static_argnums,
+                             compiler_options=opts)
+            compiled[backend] = jitted
+        return jitted(*args, **kwargs)
+
+    return wrapper

@@ -92,6 +92,20 @@ def build_run(variables: Dict[str, Any],
     G = pop.nr_groups
     group_onehot = jax.nn.one_hot(pop.group_of_agent, G + 1, dtype=jnp.bfloat16)
 
+    # Static per-agent expansions of every age/band-indexed table (TPU
+    # small-table gathers cost ~15 ms per op inside the compiled step).
+    ages_i = pop.ages.astype(np.int32)
+    band_ag = band_of_age[ages_i].astype(np.int32)
+    nb_ag = pop.band_counts[band_ag].astype(np.float32)
+    lam_log1p_ag = np.log1p(
+        -(disease.p_susc[:, ages_i]
+          / (sigma_max[:, band_ag] * np.maximum(nb_ag, 1.0)))).astype(np.float32)
+    age_hi = ages_i // 8
+    age_lo = ages_i % 8
+    n_hi = (nr_ages + 7) // 8
+    age_onehot_hi = jax.nn.one_hot(age_hi, n_hi, dtype=jnp.bfloat16)
+    age_onehot_lo = jax.nn.one_hot(age_lo, 8, dtype=jnp.bfloat16)
+
     arrays = ModelArrays(
         ages=jnp.asarray(pop.ages, jnp.int32),
         active=jnp.asarray(pop.active),
@@ -110,6 +124,15 @@ def build_run(variables: Dict[str, Any],
         p_critical_c=jnp.asarray(disease.p_critical_c),
         p_fatal_c=jnp.asarray(disease.p_fatal_c),
         p_doh=jnp.asarray(disease.p_doh),
+        band_ag=jnp.asarray(band_ag),
+        lam_log1p_ag=jnp.asarray(lam_log1p_ag),
+        p_sympt_ag=jnp.asarray(disease.p_sympt[:, ages_i]),
+        p_doh_ag=jnp.asarray(disease.p_doh[:, ages_i]),
+        p_sev_ag=jnp.asarray(disease.p_severe_c[:, ages_i]),
+        p_crit_ag=jnp.asarray(disease.p_critical_c[:, ages_i]),
+        p_fatal_ag=jnp.asarray(disease.p_fatal_c[:, ages_i]),
+        age_onehot_hi=age_onehot_hi,
+        age_onehot_lo=age_onehot_lo,
         iot=jnp.asarray(disease.iot),
         inf_mult=jnp.asarray(disease.inf_mult),
         asymp_mult=jnp.asarray(disease.asymp_mult),

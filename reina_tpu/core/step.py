@@ -74,6 +74,19 @@ class ModelArrays(NamedTuple):
     p_critical_c: jnp.ndarray    # (V, A)
     p_fatal_c: jnp.ndarray       # (V, A)
     p_doh: jnp.ndarray           # (V, A)
+    # per-agent static expansions (age/band are fixed per agent; XLA TPU
+    # gathers from small tables cost ~15 ms each inside this program, so
+    # every age-indexed lookup is pre-expanded at build time)
+    band_ag: jnp.ndarray         # (N,) int32 — contact band per agent
+    lam_log1p_ag: jnp.ndarray    # (V, N) f32 — log1p(−σ/(σmax·N_band))
+    p_sympt_ag: jnp.ndarray      # (V, N)
+    p_doh_ag: jnp.ndarray        # (V, N)
+    p_sev_ag: jnp.ndarray        # (V, N)
+    p_crit_ag: jnp.ndarray       # (V, N)
+    p_fatal_ag: jnp.ndarray      # (V, N)
+    # exact dynamic per-age expansion: age = 8·hi + lo → two bf16 matmuls
+    age_onehot_hi: jnp.ndarray   # (N, 13) bf16
+    age_onehot_lo: jnp.ndarray   # (N, 8) bf16
     iot: jnp.ndarray             # (V, 21)
     inf_mult: jnp.ndarray        # (V,)
     asymp_mult: jnp.ndarray      # (V,)
@@ -137,23 +150,55 @@ def _round_to_int(f):
     return jnp.floor(f + 0.5).astype(jnp.int16)
 
 
-def _severity_draw(key, arrays: ModelArrays, variant, age, dov, day):
+def _vsel(table, variant, v_count):
+    """table[variant] per agent without a gather op: unrolled selects
+    over the (small, static) variant count."""
+    acc = jnp.full(variant.shape, table[0], F32)
+    for v in range(1, v_count):
+        acc = jnp.where(variant == v, table[v], acc)
+    return acc
+
+
+def _vsel_rows(rows, variant, v_count):
+    """rows[variant] where rows is (V, N): per-agent row select."""
+    acc = rows[0]
+    for v in range(1, v_count):
+        acc = jnp.where(variant == v, rows[v], acc)
+    return acc
+
+
+def expand_by_age(arrays: ModelArrays, per_age):
+    """Expand a dynamic (A,) table to per-agent values exactly, as two
+    bf16 one-hot matmuls (age = 8·hi + lo): the table is split into a
+    bf16 value plus a bf16 residual so f32 precision is preserved."""
+    A = per_age.shape[0]
+    pad = arrays.age_onehot_hi.shape[1] * 8
+    t2d = jnp.zeros(pad, per_age.dtype).at[:A].set(per_age).reshape(-1, 8)
+    hi_part = t2d.astype(jnp.bfloat16)
+    lo_part = (t2d - hi_part.astype(F32)).astype(jnp.bfloat16)
+    y = (jnp.dot(arrays.age_onehot_hi, hi_part, preferred_element_type=F32)
+         + jnp.dot(arrays.age_onehot_hi, lo_part, preferred_element_type=F32))
+    return jnp.sum(y * arrays.age_onehot_lo.astype(F32), axis=1)
+
+
+def _severity_draw(key, arrays: ModelArrays, variant, v_count, dov, day):
     """Vectorized get_symptom_severity (main.pyx:1041-1091), including
     the duplicated fatal branch that sends every chain-fatal case to
-    death outside hospital. Returns (severity i8, death_outside bool)."""
-    val = jr.uniform(key, age.shape, F32)
+    death outside hospital. Returns (severity i8, death_outside bool).
+    All age lookups use the per-agent static tables."""
+    val = jr.uniform(key, variant.shape, F32)
     vmod = jnp.where(
         (dov >= 0) & ((day - dov.astype(I32)) > C.VACCINE_DELAY_DAYS),
         1.0 - C.VACCINE_EFFICACY, 1.0)
-    syc_raw = arrays.p_sympt[variant, age]
+    syc_raw = _vsel_rows(arrays.p_sympt_ag, variant, v_count)
     asympt = val >= syc_raw
     syc = syc_raw * vmod
-    dohc = arrays.p_doh[variant, age]
+    dohc = _vsel_rows(arrays.p_doh_ag, variant, v_count)
     fatal_doh = (dohc > 0) & (val < dohc * syc)
     val = jnp.where(dohc > 0, (val - dohc) / (1 - dohc), val)
-    sc = arrays.p_severe_c[variant, age]
-    cc = arrays.p_critical_c[variant, age]
-    fc = arrays.p_fatal_c[variant, age]
+    sc = _vsel_rows(arrays.p_sev_ag, variant, v_count)
+    cc = _vsel_rows(arrays.p_crit_ag, variant, v_count)
+    fc = _vsel_rows(arrays.p_fatal_ag, variant, v_count)
     sev = jnp.where(val < sc * syc, C.SEVERE, C.MILD)
     sev = jnp.where(val < cc * sc * syc, C.CRITICAL, sev)
     fatal_chain = val < fc * cc * sc * syc
@@ -294,9 +339,14 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     can_expose = (((st == C.INCUBATION) & (state.day_of_infection.astype(I32) < day))
                   | (st == C.ILLNESS))
     asympt = sev == C.ASYMPTOMATIC
-    inf_base = (arrays.iot[variant, iot_idx_c]
-                * jnp.where(asympt, arrays.asymp_mult[variant], 1.0)
-                * arrays.inf_mult[variant])
+    # iot[variant, iot_idx] without gathers: unrolled (t, v) selects
+    iot_val = jnp.zeros(N, F32)
+    for t in range(C.IOT_LEN):
+        row = _vsel(arrays.iot[:, t], variant, V)
+        iot_val = jnp.where(iot_idx_c == t, row, iot_val)
+    inf_base = (iot_val
+                * jnp.where(asympt, _vsel(arrays.asymp_mult, variant, V), 1.0)
+                * _vsel(arrays.inf_mult, variant, V))
     exposer = can_expose & iot_ok & active & ~was_detected & state.is_infected
     inf_base = jnp.where(exposer, inf_base, 0.0)
     exposer = inf_base > 0
@@ -312,7 +362,8 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     limit = jnp.where(sympt_ill, C.SYMPTOMATIC_CONTACT_LIMIT,
                       C.DEFAULT_CONTACT_LIMIT)
     z = jr.normal(k_contact, (N,), F32)
-    f = jnp.exp(C.CONTACT_LOGNORMAL_SIGMA * z) * nc_a[age] * factor
+    nc_ag = expand_by_age(arrays, nc_a)
+    f = jnp.exp(C.CONTACT_LOGNORMAL_SIGMA * z) * nc_ag * factor
     f = jnp.maximum(f, 1.0)
     k_s = jnp.clip(jnp.floor(f).astype(I32) - 1, 0, limit)
     k_s = jnp.where(exposer, k_s, 0)
@@ -350,13 +401,16 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
 
     # receiver side: each dart hits a uniform agent of its band and is
     # accepted with σ(age)/σmax — thinning makes the per-target hit
-    # count Binomial(D, σ/(σmax·N_band)); infection = at least one hit
-    band_t = arrays.band_of_age[age]                             # (N,)
-    nb = arrays.band_counts[band_t].astype(F32)
+    # count Binomial(D, σ/(σmax·N_band)); infection = at least one hit.
+    # D[v, band] expands per-agent with band selects; log1p(−λ) is a
+    # static per-agent table.
+    band_t = arrays.band_ag                                      # (N,)
     h = []
     for v in range(V):
-        lam = arrays.p_susc[v, age] / (arrays.sigma_max[v, band_t] * nb)
-        h_v = -jnp.expm1(D[v, band_t] * jnp.log1p(-lam))
+        d_ag = jnp.zeros(N, F32)
+        for b in range(B):
+            d_ag = jnp.where(band_t == b, D[v, b], d_ag)
+        h_v = -jnp.expm1(d_ag * arrays.lam_log1p_ag[v])
         h.append(h_v)
     h = jnp.stack(h)                                             # (V, N)
     p_inf = 1.0 - jnp.prod(1.0 - h, axis=0)
@@ -382,8 +436,8 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     fire = adv_any & (dl_new == 0)
 
     o2r = state.o2r
-    rb = arrays.ratio_before_hosp[variant]
-    rw = arrays.ratio_in_ward[variant]
+    rb = _vsel(arrays.ratio_before_hosp, variant, V)
+    rw = _vsel(arrays.ratio_in_ward, variant, V)
 
     onset = adv_inc & fire
     illness_days = _round_to_int(o2r * jnp.where(sev >= C.SEVERE, rb, 1.0))
@@ -423,8 +477,9 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     bed_denied = bed_request & ~granted_bed
     die_chance = jnp.where(
         sev == C.FATAL, 1.0,
-        jnp.where(sev == C.CRITICAL, arrays.p_icu_death_no_beds[variant],
-                  arrays.p_hosp_death_no_beds[variant]))
+        jnp.where(sev == C.CRITICAL,
+                  _vsel(arrays.p_icu_death_no_beds, variant, V),
+                  _vsel(arrays.p_hosp_death_no_beds, variant, V)))
     denied_die = bed_denied & (u1 < die_chance)
     denied_recover = bed_denied & ~denied_die
     hospitalized_now = bed_request & granted_bed
@@ -434,7 +489,7 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     u2 = jr.uniform(k_nocare2, (N,), F32)
     icu_denied = icu_request & ~granted_icu
     icu_die_chance = jnp.where(sev == C.FATAL, 1.0,
-                               arrays.p_icu_death_no_beds[variant])
+                               _vsel(arrays.p_icu_death_no_beds, variant, V))
     icu_denied_die = icu_denied & (u2 < icu_die_chance)
     # ICU-denied survivors still enter IN_ICU without claiming a unit —
     # faithful to person_transfer_to_icu (main.pyx:341-351)
@@ -542,14 +597,16 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     n_infected = state.n_infected.at[src_scatter].add(1, mode="drop")
 
     # initialize newly-infected fields (person_infect, main.pyx:209-235)
-    sev_new, outside_new = _severity_draw(k_sev, arrays, variant_new, age, dov, day)
+    sev_new, outside_new = _severity_draw(k_sev, arrays, variant_new, V,
+                                          dov, day)
     kappa_inc = 1.0 / (C.INCUBATION_CV ** 2)
-    theta_inc = (C.INCUBATION_CV ** 2) * arrays.mu_incub[variant_new]
+    theta_inc = (C.INCUBATION_CV ** 2) * _vsel(arrays.mu_incub, variant_new, V)
     g_inc = gamma_fixed(k_gam1, kappa_inc, (N,)) * theta_inc
     incub_days = _round_to_int(g_inc)
     kappa_o2r = 1.0 / (C.ONSET_TO_REMOVED_CV ** 2)
-    mu_o2r = jnp.where(sev_new == C.FATAL, arrays.mu_death[variant_new],
-                       arrays.mu_recov[variant_new])
+    mu_o2r = jnp.where(sev_new == C.FATAL,
+                       _vsel(arrays.mu_death, variant_new, V),
+                       _vsel(arrays.mu_recov, variant_new, V))
     g_o2r = gamma_fixed(k_gam2, kappa_o2r, (N,)) * (C.ONSET_TO_REMOVED_CV ** 2) * mu_o2r
 
     new_st = jnp.where(newly, C.INCUBATION, new_st)

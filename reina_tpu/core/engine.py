@@ -105,6 +105,9 @@ def build_run(variables: Dict[str, Any],
     n_hi = (nr_ages + 7) // 8
     age_onehot_hi = jax.nn.one_hot(age_hi, n_hi, dtype=jnp.bfloat16)
     age_onehot_lo = jax.nn.one_hot(age_lo, 8, dtype=jnp.bfloat16)
+    # padding agents get a zero row so N→age reductions ignore them
+    age_full_idx = np.where(pop.active, ages_i, n_hi * 8)
+    age_onehot_full = jax.nn.one_hot(age_full_idx, n_hi * 8, dtype=jnp.bfloat16)
 
     arrays = ModelArrays(
         ages=jnp.asarray(pop.ages, jnp.int32),
@@ -133,6 +136,7 @@ def build_run(variables: Dict[str, Any],
         p_fatal_ag=jnp.asarray(disease.p_fatal_c[:, ages_i]),
         age_onehot_hi=age_onehot_hi,
         age_onehot_lo=age_onehot_lo,
+        age_onehot_full=age_onehot_full,
         iot=jnp.asarray(disease.iot),
         inf_mult=jnp.asarray(disease.inf_mult),
         asymp_mult=jnp.asarray(disease.asymp_mult),

@@ -87,6 +87,7 @@ class ModelArrays(NamedTuple):
     # exact dynamic per-age expansion: age = 8·hi + lo → two bf16 matmuls
     age_onehot_hi: jnp.ndarray   # (N, 13) bf16
     age_onehot_lo: jnp.ndarray   # (N, 8) bf16
+    age_onehot_full: jnp.ndarray  # (N, 104) bf16 — N→per-age reductions
     iot: jnp.ndarray             # (V, 21)
     inf_mult: jnp.ndarray        # (V,)
     asymp_mult: jnp.ndarray      # (V,)
@@ -318,16 +319,30 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     queued, s1 = trace_round(drained & ct_active, queued, was_detected, k_trace1)
     queued, _s2 = trace_round(s1, queued, was_detected, k_trace2)
 
+    # Vaccination: oldest-first quota without permutation gathers —
+    # per-age eligible counts via one matmul, whole cohorts older than
+    # the boundary age vaccinate fully, the boundary age binomially at
+    # the exact leftover fraction (within-age order is arbitrary in the
+    # reference too, main.pyx:560-584; see docs/parity.md).
     dov = state.day_of_vaccination
+    A_pad = arrays.age_onehot_full.shape[1]
     for s in range(cfg.vacc_slots):
-        nr = jnp.floor(sched.vacc_nr[s]).astype(I32)
+        nr = jnp.floor(sched.vacc_nr[s])
         mn, mx = arrays.vacc_min_age[s], arrays.vacc_max_age[s]
         eligible = (active & ~is_dead & ~was_detected & (dov < 0)
                     & (age >= mn) & (age <= mx))
-        elig_desc = eligible[arrays.desc_age_perm]
-        rank = jnp.cumsum(elig_desc.astype(I32))
-        take_desc = elig_desc & (rank <= nr)
-        take = jnp.zeros(N, bool).at[arrays.desc_age_perm].set(take_desc)
+        counts = jnp.dot(eligible.astype(jnp.bfloat16),
+                         arrays.age_onehot_full,
+                         preferred_element_type=F32)[:A]         # (A,)
+        older = jnp.concatenate(
+            [jnp.cumsum(counts[::-1])[:-1][::-1], jnp.zeros(1, F32)])
+        older_ag = expand_by_age(arrays, older)
+        cnt_ag = expand_by_age(arrays, counts)
+        need = nr - older_ag
+        u_vac = jr.uniform(jr.fold_in(k_offset, 1000 + s), (N,), F32)
+        frac = jnp.clip(need / jnp.maximum(cnt_ag, 1.0), 0.0, 1.0)
+        take = eligible & (need > 0) & (
+            (cnt_ag <= need) | (u_vac < frac))
         dov = jnp.where(take, day.astype(jnp.int16), dov)
 
     # ---- phase 4: exposure --------------------------------------------
@@ -381,12 +396,19 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
 
     # aggregate contact counts by (age, variant, iot-day, asympt) group;
     # binomial(k, p) sums over same-p sources, so per-group totals give
-    # exact dart counts at a tiny fraction of per-agent sampling cost
-    g_idx = ((age * V + variant) * C.IOT_LEN + iot_idx_c) * 2 + asympt.astype(I32)
-    G = A * V * C.IOT_LEN * 2
-    g_idx = jnp.where(exposer, g_idx, G)
-    K_g = jnp.zeros(G + 1, F32).at[g_idx].add(k_s.astype(F32))[:G]
-    K_g = K_g.reshape(A, V, C.IOT_LEN, 2)
+    # exact dart counts at a tiny fraction of per-agent sampling cost.
+    # The (N → groups) reduction runs on the MXU: K[vts, age] =
+    # (vts-onehot ⊙ k)ᵀ @ age-onehot — a scatter-add op costs ~15 ms
+    # in this program, the matmul ~0.5 ms. Exact: k ≤ 128 and one-hots
+    # are 0/1, both exact in bf16; accumulation in f32.
+    vts = (variant * C.IOT_LEN + iot_idx_c) * 2 + asympt.astype(I32)
+    VTS = V * C.IOT_LEN * 2
+    vts_onehot = (vts[:, None] ==
+                  jnp.arange(VTS, dtype=I32)[None, :]) & exposer[:, None]
+    lhs = (vts_onehot * k_s[:, None]).astype(jnp.bfloat16)       # (N, VTS)
+    K_age = jnp.dot(lhs.T, arrays.age_onehot_full,
+                    preferred_element_type=F32)[:, :A]           # (VTS, A)
+    K_g = K_age.T.reshape(A, V, C.IOT_LEN, 2)
 
     # per-group infectiousness: iot[v,t] · asymp_mult[v]^s · inf_mult[v],
     # broadcast over source age → (1, V, T, S)
@@ -538,15 +560,17 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     hi = arrays.age_start[jnp.minimum(arrays.import_max_age[cls] + 1, A)]
     pos = lo + jnp.floor(u_imp[..., 1] * jnp.maximum(hi - lo, 1).astype(F32)).astype(I32)
     cand = arrays.age_perm[jnp.clip(pos, 0, N - 1)]              # (M, attempts)
-    cand_ok = (st[cand] == C.SUSCEPTIBLE) & ~is_infected[cand] \
-        & ~has_immunity[cand] & active[cand] & (hi > lo)
+    # one combined status gather: susceptible ⇔ SUSCEPTIBLE state
+    cand_ok = susceptible[cand] & (hi > lo)
     first = jnp.argmax(cand_ok, axis=1)
     any_ok = jnp.any(cand_ok, axis=1)
     import_agent = cand[jnp.arange(M), first]
     import_ok = slot_valid & any_ok
     import_tgt = jnp.where(import_ok, import_agent, N)
-    import_mask = jnp.zeros(N + 1, bool).at[import_tgt].set(True)[:N]
-    import_var = jnp.zeros(N + 1, I32).at[import_tgt].set(slot_variant)[:N]
+    # one packed scatter: value = variant + 1 (0 = not imported)
+    imp_pack = jnp.zeros(N + 1, I32).at[import_tgt].set(slot_variant + 1)[:N]
+    import_mask = imp_pack > 0
+    import_var = jnp.maximum(imp_pack - 1, 0)
 
     new_contact = new_contact & ~import_mask
     newly = new_contact | import_mask
@@ -575,12 +599,20 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     a_star = jnp.argmax(logw + gumb, axis=1).astype(I32)
 
     c_s = jnp.where(exposer, k_s.astype(F32) * inf_base, 0.0)
-    c_sorted = c_s[arrays.age_perm]
-    var_sorted = variant[arrays.age_perm]
+    if V == 2:
+        # pack variant into the sign so the age-sorted reorder is ONE
+        # gather instead of two (c_s ≥ 0; sign splits it back exactly)
+        c_pack = jnp.where(variant == 1, -c_s, c_s)[arrays.age_perm]
+        c_by_variant = [jnp.maximum(c_pack, 0.0), jnp.maximum(-c_pack, 0.0)]
+    else:
+        c_sorted = c_s[arrays.age_perm]
+        var_sorted = variant[arrays.age_perm]
+        c_by_variant = [jnp.where(var_sorted == v, c_sorted, 0.0)
+                        for v in range(V)]
     u_src = jr.uniform(k_attr_src, (Kcap,), F32)
     infector_new = jnp.full(Kcap, -1, I32)
     for v in range(V):
-        cum_v = jnp.cumsum(jnp.where(var_sorted == v, c_sorted, 0.0))
+        cum_v = jnp.cumsum(c_by_variant[v])
         lo_i = arrays.age_start[a_star]
         hi_i = arrays.age_start[a_star + 1]
         lo_c = jnp.where(lo_i > 0, cum_v[jnp.maximum(lo_i - 1, 0)], 0.0)

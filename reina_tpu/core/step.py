@@ -300,7 +300,7 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     infector_safe = jnp.clip(state.infector, 0, N - 1)
     has_infector = state.infector >= 0
 
-    def trace_round(sources, queued, was_detected, k):
+    def trace_round(sources, queued, k):
         # edges from traced sources toward their infector...
         src_edge_tgt = jnp.where(sources & has_infector, state.infector, N)
         cnt1 = jnp.zeros(N + 1, I32).at[src_edge_tgt].add(1)[:N]
@@ -313,11 +313,19 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         p_q = 1.0 - jnp.power(1.0 - sched.trace_p, n_edges.astype(F32))
         eligible = active & ~is_dead & ~was_detected & ~queued
         u = jr.uniform(k, (N,), F32)
-        newq = eligible & (n_edges > 0) & (u < p_q) & ct_active
+        newq = eligible & (n_edges > 0) & (u < p_q)
         return queued | newq, newq
 
-    queued, s1 = trace_round(drained & ct_active, queued, was_detected, k_trace1)
-    queued, _s2 = trace_round(s1, queued, was_detected, k_trace2)
+    def do_tracing(queued):
+        q1, s1 = trace_round(drained, queued, k_trace1)
+        q2, _s2 = trace_round(s1, q1, k_trace2)
+        return q2
+
+    # the BFS only runs on days with contact tracing active and a
+    # non-empty test queue — its scatter/gather ops are the step's most
+    # expensive, so skip them entirely otherwise
+    queued = jax.lax.cond(ct_active & (ct_cases > 0), do_tracing,
+                          lambda q: q, queued)
 
     # Vaccination: oldest-first quota without permutation gathers —
     # per-age eligible counts via one matmul, whole cohorts older than

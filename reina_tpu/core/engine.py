@@ -186,9 +186,11 @@ def build_run(variables: Dict[str, Any],
         problem=jnp.int32(0),
     )
 
+    max_cohort = max(int(np.asarray(age_counts).max()), 2)
     cfg = EngineConfig(
         vacc_slots=max(slots.count, 1),
         nr_variants=V,
+        max_age_cohort=1 << (max_cohort - 1).bit_length(),
         **(cfg_overrides or {}))
 
     return CompiledRun(

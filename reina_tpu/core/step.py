@@ -47,6 +47,7 @@ class EngineConfig:
     infection_buffer: int = 1 << 16   # max new contact-infections per day
     import_buffer: int = 512          # max imported infections per day
     import_attempts: int = 10         # susceptible-search retries (main.pyx:1657)
+    max_age_cohort: int = 1 << 16     # ≥ largest single-age population
     vacc_slots: int = 1               # vaccination campaign slots (≥ 1)
     nr_variants: int = 2
     stats_matmul: bool = True         # age-group stats on the MXU
@@ -300,32 +301,51 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     infector_safe = jnp.clip(state.infector, 0, N - 1)
     has_infector = state.infector >= 0
 
+    Tcap = cfg.infection_buffer  # compact traced-source buffer size
+
     def trace_round(sources, queued, k):
-        # edges from traced sources toward their infector...
-        src_edge_tgt = jnp.where(sources & has_infector, state.infector, N)
-        cnt1 = jnp.zeros(N + 1, I32).at[src_edge_tgt].add(1)[:N]
-        # ...and toward their infectees (valid while the source is still
-        # infected and was infected under contact tracing — the
-        # reference frees infectee lists on removal, main.pyx:301-307)
+        """One BFS level. A candidate is queued iff ANY of its edges
+        succeeds a Bernoulli(trace_p) draw — per-edge draws are exactly
+        the reference's first-edge-wins queueing (P = 1 − (1−p)^n).
+        Edges from sources to their infector go through a compact
+        buffer so the scatter stays small; edges to infectees are the
+        per-agent infector back-pointer check."""
+        k1, k2 = jr.split(k)
+        # (i) source → infector edges, per-edge success on the source side
+        u1 = jr.uniform(k1, (N,), F32)
+        succ = sources & has_infector & (u1 < sched.trace_p)
+        pos = jnp.cumsum(succ.astype(I32)) - 1
+        slot = jnp.where(succ & (pos < Tcap), pos, Tcap)
+        srcbuf = jnp.full(Tcap + 1, N, I32).at[slot].set(
+            jnp.arange(N, dtype=I32))[:Tcap]
+        tgt = state.infector[jnp.clip(srcbuf, 0, N - 1)]
+        tgt = jnp.where(srcbuf < N, tgt, N)
+        hit1 = jnp.zeros(N + 1, bool).at[tgt].set(True)[:N]
+        # (ii) infectee edges (valid while the source is still infected
+        # and was infected under contact tracing — the reference frees
+        # infectee lists on removal, main.pyx:301-307)
         src_tracked = sources & state.ct_tracked & state.is_infected
-        cnt2 = (has_infector & src_tracked[infector_safe]).astype(I32)
-        n_edges = cnt1 + cnt2
-        p_q = 1.0 - jnp.power(1.0 - sched.trace_p, n_edges.astype(F32))
+        u2 = jr.uniform(k2, (N,), F32)
+        hit2 = has_infector & src_tracked[infector_safe] & (u2 < sched.trace_p)
         eligible = active & ~is_dead & ~was_detected & ~queued
-        u = jr.uniform(k, (N,), F32)
-        newq = eligible & (n_edges > 0) & (u < p_q)
-        return queued | newq, newq
+        newq = eligible & (hit1 | hit2)
+        overflow = (pos[-1] + 1) > Tcap
+        return queued | newq, newq, overflow
 
     def do_tracing(queued):
-        q1, s1 = trace_round(drained, queued, k_trace1)
-        q2, _s2 = trace_round(s1, q1, k_trace2)
-        return q2
+        q1, s1, ov1 = trace_round(drained, queued, k_trace1)
+        q2, _s2, ov2 = trace_round(s1, q1, k_trace2)
+        return q2, ov1 | ov2
 
     # the BFS only runs on days with contact tracing active and a
     # non-empty test queue — its scatter/gather ops are the step's most
     # expensive, so skip them entirely otherwise
-    queued = jax.lax.cond(ct_active & (ct_cases > 0), do_tracing,
-                          lambda q: q, queued)
+    queued, trace_overflow = jax.lax.cond(
+        ct_active & (ct_cases > 0), do_tracing,
+        lambda q: (q, jnp.bool_(False)), queued)
+    problem = jnp.where(trace_overflow,
+                        problem | C.PROBLEM_INFECTION_BUFFER_OVERFLOW,
+                        problem)
 
     # Vaccination: oldest-first quota without permutation gathers —
     # per-age eligible counts via one matmul, whole cohorts older than
@@ -556,27 +576,34 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     tot_imports = cum_imp[-1]
     problem = jnp.where(tot_imports > M,
                         problem | C.PROBLEM_IMPORT_BUFFER_OVERFLOW, problem)
-    slot_ids = jnp.arange(M, dtype=I32)
-    slot_valid = slot_ids < tot_imports
-    slot_variant = searchsorted_fixed(cum_imp, slot_ids, side="right")
-    slot_variant = jnp.clip(slot_variant, 0, V - 1)
+    def do_imports(_):
+        slot_ids = jnp.arange(M, dtype=I32)
+        slot_valid = slot_ids < tot_imports
+        slot_variant = searchsorted_fixed(cum_imp, slot_ids, side="right")
+        slot_variant = jnp.clip(slot_variant, 0, V - 1)
 
-    u_imp = jr.uniform(k_imp, (M, cfg.import_attempts, 2), F32)
-    cls = searchsorted_fixed(arrays.import_cum_p, u_imp[..., 0], side="left")
-    cls = jnp.clip(cls, 0, arrays.import_cum_p.shape[0] - 1)
-    lo = arrays.age_start[arrays.import_min_age[cls]]
-    hi = arrays.age_start[jnp.minimum(arrays.import_max_age[cls] + 1, A)]
-    pos = lo + jnp.floor(u_imp[..., 1] * jnp.maximum(hi - lo, 1).astype(F32)).astype(I32)
-    cand = arrays.age_perm[jnp.clip(pos, 0, N - 1)]              # (M, attempts)
-    # one combined status gather: susceptible ⇔ SUSCEPTIBLE state
-    cand_ok = susceptible[cand] & (hi > lo)
-    first = jnp.argmax(cand_ok, axis=1)
-    any_ok = jnp.any(cand_ok, axis=1)
-    import_agent = cand[jnp.arange(M), first]
-    import_ok = slot_valid & any_ok
-    import_tgt = jnp.where(import_ok, import_agent, N)
-    # one packed scatter: value = variant + 1 (0 = not imported)
-    imp_pack = jnp.zeros(N + 1, I32).at[import_tgt].set(slot_variant + 1)[:N]
+        u_imp = jr.uniform(k_imp, (M, cfg.import_attempts, 2), F32)
+        cls = searchsorted_fixed(arrays.import_cum_p, u_imp[..., 0],
+                                 side="left")
+        cls = jnp.clip(cls, 0, arrays.import_cum_p.shape[0] - 1)
+        lo = arrays.age_start[arrays.import_min_age[cls]]
+        hi = arrays.age_start[jnp.minimum(arrays.import_max_age[cls] + 1, A)]
+        pos = lo + jnp.floor(
+            u_imp[..., 1] * jnp.maximum(hi - lo, 1).astype(F32)).astype(I32)
+        cand = arrays.age_perm[jnp.clip(pos, 0, N - 1)]          # (M, attempts)
+        # one combined status gather: susceptible ⇔ SUSCEPTIBLE state
+        cand_ok = susceptible[cand] & (hi > lo)
+        first = jnp.argmax(cand_ok, axis=1)
+        any_ok = jnp.any(cand_ok, axis=1)
+        import_agent = cand[jnp.arange(M), first]
+        import_ok = slot_valid & any_ok
+        import_tgt = jnp.where(import_ok, import_agent, N)
+        # one packed scatter: value = variant + 1 (0 = not imported)
+        return jnp.zeros(N + 1, I32).at[import_tgt].set(slot_variant + 1)[:N]
+
+    # import days are sparse — skip the pick/scatter machinery otherwise
+    imp_pack = jax.lax.cond(tot_imports > 0, do_imports,
+                            lambda _: jnp.zeros(N, I32), 0)
     import_mask = imp_pack > 0
     import_var = jnp.maximum(imp_pack - 1, 0)
 
@@ -626,7 +653,12 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         lo_c = jnp.where(lo_i > 0, cum_v[jnp.maximum(lo_i - 1, 0)], 0.0)
         hi_c = cum_v[jnp.maximum(hi_i - 1, 0)]
         x = lo_c + u_src * (hi_c - lo_c)
-        pos_v = searchsorted_fixed(cum_v, x, side="left")
+        # the source lives inside the sampled age bucket: bracket the
+        # bisect to [age_start[a*], age_start[a*+1]) — largest age
+        # cohort < 2^16 agents, so 17 gather steps instead of 21
+        pos_v = searchsorted_fixed(cum_v, x, side="left",
+                                   lo_init=lo_i, hi_init=hi_i,
+                                   max_range=cfg.max_age_cohort)
         src_v = arrays.age_perm[jnp.clip(pos_v, 0, N - 1)]
         ok_v = (v_i == v) & (hi_c > lo_c) & slot_used
         infector_new = jnp.where(ok_v, src_v, infector_new)

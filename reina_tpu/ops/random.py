@@ -21,7 +21,7 @@ import jax.random as jr
 F32 = jnp.float32
 
 
-def gamma_fixed(key, kappa: float, shape, rounds: int = 8):
+def gamma_fixed(key, kappa: float, shape, rounds: int = 6):
     """Standard Gamma(kappa) for kappa > 1 via Marsaglia–Tsang squeeze
     with ``rounds`` unrolled rejection rounds (acceptance ≈ 96-99%).
 
@@ -155,14 +155,23 @@ def binomial_fixed(key, n, p, rounds: int = 8):
 
 
 def searchsorted_fixed(sorted_arr, queries, side: str = "left",
-                       n_steps: int | None = None):
+                       n_steps: int | None = None,
+                       lo_init=None, hi_init=None,
+                       max_range: int | None = None):
     """Bisect with a fixed unrolled binary search (no while ops).
-    Equivalent to jnp.searchsorted(sorted_arr, queries, side=side)."""
+    Equivalent to jnp.searchsorted(sorted_arr, queries, side=side).
+
+    ``lo_init``/``hi_init`` restrict each query to a known bracket
+    (e.g. an age-bucket range), cutting the unrolled step count to
+    log2(max_range) — every step is a gather op, the expensive unit on
+    this toolchain."""
     n = sorted_arr.shape[0]
     if n_steps is None:
-        n_steps = n.bit_length()
-    lo = jnp.zeros(queries.shape, jnp.int32)
-    hi = jnp.full(queries.shape, n, jnp.int32)
+        n_steps = (max_range if max_range is not None else n).bit_length()
+    lo = (jnp.zeros(queries.shape, jnp.int32) if lo_init is None
+          else lo_init.astype(jnp.int32))
+    hi = (jnp.full(queries.shape, n, jnp.int32) if hi_init is None
+          else hi_init.astype(jnp.int32))
     for _ in range(n_steps):
         active = lo < hi
         mid = (lo + hi) // 2

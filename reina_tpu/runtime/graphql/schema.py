@@ -7,6 +7,14 @@ queries/mutations so the reina-ui frontend keeps working:
             deleteEvent(eventId), resetVariables,
             activateScenario(scenarioId)
 
+Additive extensions covering the reference's Dash parameter explorer
+(components/params.py:144-298 — disease-parameter table and the
+"Distributions" panel), which the reference exposed only through Dash:
+
+  Query: diseaseParameters, sampleDistribution(what, age, severity,
+         limitMobility)
+  Mutation: setParameter(parameterId, value), resetParameters
+
 The per-request variable store rides in ``info.context['store']``
 (the analog of the reference's Flask session).
 """
@@ -25,8 +33,9 @@ from ...config.interventions import (ChoiceParameter, IntParameter,
                                      INTERVENTIONS, get_active_interventions,
                                      get_intervention)
 from ...config.metrics import ALL_METRICS, METRICS, get_metric
-from ...config.variables import VariableStore
+from ...config.variables import VARIABLE_DEFAULTS, VariableStore
 from ...data import loaders
+from ...utils.locale import gettext as _
 
 
 # --- typed result objects ---------------------------------------------------
@@ -323,6 +332,72 @@ def resolve_area(_root, info):
                     for g in group_names])
 
 
+# Editable disease parameters (reference components/params.py:144-158;
+# the reference row 'p_asymptomatic' reads a variable that does not
+# exist upstream — dead row; we expose the live
+# 'p_asymptomatic_infection' multiplier instead).
+DISEASE_PARAM_DEFS = (
+    ("p_asymptomatic_infection",
+     "Relative infectiousness of asymptomatic cases", ""),
+    ("p_hospital_death_no_beds",
+     "Probability of dying if severe symptoms and no hospital beds are available", "%"),
+    ("p_icu_death_no_beds",
+     "Probability of dying if no ICU units are available", "%"),
+    ("mean_incubation_duration", "Mean incubation period length", "days"),
+    ("mean_duration_from_onset_to_recovery",
+     "Mean duration from symptom onset to recovery", "days"),
+    ("mean_duration_from_onset_to_death",
+     "Mean duration from symptom onset to death", "days"),
+    ("ratio_of_duration_before_hospitalisation",
+     "Ratio of time before hospitalization", "%"),
+    ("ratio_of_duration_in_ward",
+     "Ratio of time in ward before ICU care", "%"),
+    ("incubating_at_simulation_start",
+     "People who are a- or presymptomatic at simulation start", ""),
+    ("ill_at_simulation_start",
+     "People who are ill with symptoms at simulation start", ""),
+    ("recovered_at_simulation_start",
+     "People who have recovered from infection at simulation start", ""),
+)
+
+
+@dataclass
+class DiseaseParameter:
+    id: str
+    label: str
+    value: float
+    unit: str
+
+
+@dataclass
+class Distribution:
+    what: str
+    categories: List[str]
+    counts: List[float]   # draw counts, or curve values for "infectiousness"
+
+
+def resolve_disease_parameters(_root, info):
+    store = _store(info)
+    return [DiseaseParameter(id=pid, label=_(label),
+                             value=float(store.get(pid)), unit=_(unit))
+            for pid, label, unit in DISEASE_PARAM_DEFS]
+
+
+def resolve_sample_distribution(_root, info, what, age=60, severity=None,
+                                limit_mobility=0):
+    from ...sampling import sample_distribution
+    variables = _store(info).copy_all()
+    variables["sample_limit_mobility"] = limit_mobility
+    try:
+        series = sample_distribution(what, int(age), severity, variables)
+    except ValueError as e:
+        raise GraphQLError(str(e))
+    return Distribution(
+        what=what,
+        categories=[str(ix) for ix in series.index],
+        counts=[float(v) for v in series.values])
+
+
 def resolve_scenarios(_root, info):
     store = _store(info)
     scenarios = store.get("scenarios")
@@ -395,6 +470,28 @@ def mutate_reset_variables(_root, info):
     return {"ok": True}
 
 
+def mutate_set_parameter(_root, info, parameter_id, value):
+    """Write-through from the parameter-editor table (the reference's
+    Dash callback writes edited rows back with set_variable,
+    components/params.py:~260-290)."""
+    ids = {pid for pid, _l, _u in DISEASE_PARAM_DEFS}
+    if parameter_id not in ids:
+        raise GraphQLError("unknown parameter: %s" % parameter_id)
+    default = VARIABLE_DEFAULTS[parameter_id]
+    store = _store(info)
+    store.set(parameter_id,
+              int(value) if isinstance(default, int) else float(value))
+    return {"ok": True}
+
+
+def mutate_reset_parameters(_root, info):
+    """The parameter editor's "Restore defaults" button."""
+    store = _store(info)
+    for pid, _l, _u in DISEASE_PARAM_DEFS:
+        store.reset(pid)
+    return {"ok": True}
+
+
 def mutate_activate_scenario(_root, info, scenario_id):
     store = _store(info)
     scenarios = store.get("scenarios")
@@ -420,6 +517,8 @@ SCHEMA = {
         "mobility_change_metrics": resolve_mobility_change_metrics,
         "area": resolve_area,
         "scenarios": resolve_scenarios,
+        "disease_parameters": resolve_disease_parameters,
+        "sample_distribution": resolve_sample_distribution,
     },
     "mutation": {
         "run_simulation": mutate_run_simulation,
@@ -427,5 +526,7 @@ SCHEMA = {
         "delete_event": mutate_delete_event,
         "reset_variables": mutate_reset_variables,
         "activate_scenario": mutate_activate_scenario,
+        "set_parameter": mutate_set_parameter,
+        "reset_parameters": mutate_reset_parameters,
     },
 }

@@ -162,3 +162,63 @@ def test_results_to_metrics_postprocessing():
     # 14-day rolling means leave the first 13 values null
     det = by_id["detected"].int_values
     assert det[12] is None and det[20] == 30
+
+
+def test_disease_parameters_roundtrip():
+    """Parameter-explorer API (reference Dash components/params.py:144-298)."""
+    c = {"store": VariableStore()}
+    out = execute(SCHEMA, "{ diseaseParameters { id label value unit } }",
+                  context=c)
+    assert not out.get("errors"), out
+    params = {p["id"]: p for p in out["data"]["diseaseParameters"]}
+    assert params["mean_incubation_duration"]["value"] == 5.1
+    assert params["ratio_of_duration_in_ward"]["unit"] == "%"
+    assert len(params) == 11
+
+    out = execute(SCHEMA, """
+        mutation { setParameter(parameterId: "mean_incubation_duration",
+                                value: 6.5) { ok } }""", context=c)
+    assert not out.get("errors"), out
+    out = execute(SCHEMA, "{ diseaseParameters { id value } }", context=c)
+    vals = {p["id"]: p["value"] for p in out["data"]["diseaseParameters"]}
+    assert vals["mean_incubation_duration"] == 6.5
+
+    out = execute(SCHEMA, "mutation { resetParameters { ok } }", context=c)
+    assert not out.get("errors"), out
+    out = execute(SCHEMA, "{ diseaseParameters { id value } }", context=c)
+    vals = {p["id"]: p["value"] for p in out["data"]["diseaseParameters"]}
+    assert vals["mean_incubation_duration"] == 5.1
+
+    out = execute(SCHEMA, """
+        mutation { setParameter(parameterId: "random_seed", value: 1) { ok } }""",
+        context=c)
+    assert out.get("errors")  # only whitelisted parameters are editable
+
+
+def test_sample_distribution_endpoint():
+    c = {"store": VariableStore()}
+    out = execute(SCHEMA, """
+        { sampleDistribution(what: "symptom_severity", age: 80)
+          { what categories counts } }""", context=c)
+    assert not out.get("errors"), out
+    d = out["data"]["sampleDistribution"]
+    assert sum(d["counts"]) == 10000
+    assert set(d["categories"]) <= {
+        "ASYMPTOMATIC", "MILD", "SEVERE", "CRITICAL", "FATAL"}
+
+    # mobility limit shifts the contact distribution down
+    def mean_contacts(limit):
+        out = execute(SCHEMA, """
+            query($m: Int!) { sampleDistribution(what: "contacts_per_day",
+                age: 30, limitMobility: $m) { categories counts } }""",
+            variables={"m": limit}, context=c)
+        assert not out.get("errors"), out
+        d = out["data"]["sampleDistribution"]
+        tot = sum(d["counts"])
+        return sum(float(c_) * n for c_, n in zip(d["categories"], d["counts"])) / tot
+
+    assert mean_contacts(80) < mean_contacts(0) * 0.5
+
+    out = execute(SCHEMA, '{ sampleDistribution(what: "bogus") { what } }',
+                  context=c)
+    assert out.get("errors")

@@ -76,8 +76,10 @@ def build_run(variables: Dict[str, Any],
     n_padded = len(pop.ages)
 
     ivs = get_active_interventions(variables)
+    # at least one schedule row so the day-0 snapshot (which reads
+    # schedule[0]) works for degenerate 0-day runs
     sched_np, slots = compile_schedules(
-        ivs, variables["start_date"], days, nr_ages, variant_names)
+        ivs, variables["start_date"], max(days, 1), nr_ages, variant_names)
 
     import_ages = compile_import_ages(
         create_pairs(variables["imported_infection_ages"]), nr_ages)
@@ -112,8 +114,6 @@ def build_run(variables: Dict[str, Any],
     arrays = ModelArrays(
         ages=jnp.asarray(pop.ages, jnp.int32),
         active=jnp.asarray(pop.active),
-        age_perm=jnp.asarray(pop.age_perm),
-        desc_age_perm=jnp.asarray(pop.age_perm[::-1].copy()),
         age_start=jnp.asarray(pop.age_start),
         band_of_age=jnp.asarray(pop.band_of_age),
         band_counts=jnp.asarray(pop.band_counts),

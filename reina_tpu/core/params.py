@@ -171,18 +171,22 @@ def compile_population(age_counts: np.ndarray, band_of_age: np.ndarray,
     n = int(age_counts.sum())
     n_padded = ((n + pad_multiple - 1) // pad_multiple) * pad_multiple
 
-    # Agents live at random positions (reference main.pyx:1434-1436
-    # shuffles the id space) so the cyclic capacity-rationing sweep is
-    # age-unbiased under scarcity. Padding occupies the tail positions.
-    rng = np.random.default_rng(layout_seed)
+    # Agents live at AGE-SORTED positions (padding at the tail): position
+    # ranges double as the per-age index (age_start offsets address agents
+    # directly), so uniform-in-age-band sampling and weighted infector
+    # attribution need no N-sized permutation gather — the single most
+    # expensive op class on TPU (~12 ms per gather at HUS scale, see
+    # tools/profile_ops_sync.py). The reference instead shuffles the id
+    # space (main.pyx:1434-1436) purely so its serial capacity sweep is
+    # age-unbiased; our rationing uses a random cyclic offset whose
+    # marginal grant probability is position-uniform either way — the
+    # layout change is documented in docs/parity.md §deviations.
     ages = np.zeros(n_padded, dtype=np.uint8)
-    ages[:n] = rng.permutation(
-        np.repeat(np.arange(nr_ages, dtype=np.uint8), age_counts))
+    ages[:n] = np.repeat(np.arange(nr_ages, dtype=np.uint8), age_counts)
     active = np.zeros(n_padded, dtype=bool)
     active[:n] = True
 
-    sort_key = np.where(active, ages.astype(np.int32), nr_ages)
-    age_perm = np.argsort(sort_key, kind="stable").astype(np.int32)
+    age_perm = np.arange(n_padded, dtype=np.int32)
     age_start = np.zeros(nr_ages + 1, dtype=np.int32)
     age_start[1:] = np.cumsum(age_counts)
 

@@ -35,6 +35,7 @@ import numpy as np
 from . import constants as C
 from .state import AgentState, DayCarry
 from ..ops.clamped import clamped_counter_grants
+from ..ops.compact import compact_indices
 from ..ops.random import binomial_fixed, gamma_fixed, searchsorted_fixed
 
 I32 = jnp.int32
@@ -58,9 +59,9 @@ class ModelArrays(NamedTuple):
     # population
     ages: jnp.ndarray            # (N,) int32 (widened for gathers)
     active: jnp.ndarray          # (N,) bool
-    age_perm: jnp.ndarray        # (N,) int32 — agents sorted by age
-    desc_age_perm: jnp.ndarray   # (N,) int32 — descending age (padding first)
-    age_start: jnp.ndarray       # (A+1,) int32
+    age_start: jnp.ndarray       # (A+1,) int32 — agent layout is age-sorted:
+    #                              positions [age_start[a], age_start[a+1])
+    #                              ARE the agents of age a (padding at tail)
     band_of_age: jnp.ndarray     # (A,) int32
     band_counts: jnp.ndarray     # (B,) int32
     group_onehot: jnp.ndarray    # (N, G+1) bfloat16 — output age groups
@@ -217,21 +218,27 @@ def _binomial_split(key, totals, probs):
     """Multinomial across the trailing axis of ``probs`` via sequential
     conditional binomials (while-free fixed-round sampler — see
     ops/random.py). totals: (...,) float; probs: (..., B) with sum ≤ 1
-    (the remainder is the discard category). Returns (..., B) float32."""
+    (the remainder is the discard category). Returns (..., B) float32.
+
+    The category chain runs under ``lax.scan``: one unrolled
+    binomial_fixed is ~1.7k jaxpr equations, and the two split call
+    sites (8 bands + 6 places) dominated the day step's compile time
+    when unrolled."""
     B = probs.shape[-1]
-    rem = totals
-    remp = jnp.ones_like(totals)
-    outs = []
-    for b in range(B):
-        pb = probs[..., b]
+
+    def body(carry, xs):
+        rem, remp = carry
+        pb, k = xs
         cond = jnp.where(remp > 1e-9, pb / jnp.maximum(remp, 1e-9), 0.0)
         cond = jnp.clip(cond, 0.0, 1.0)
-        n_b = binomial_fixed(jr.fold_in(key, b), rem, cond)
+        n_b = binomial_fixed(k, rem, cond)
         n_b = jnp.where(rem > 0, n_b, 0.0)
-        outs.append(n_b)
-        rem = rem - n_b
-        remp = remp - pb
-    return jnp.stack(outs, axis=-1)
+        return (rem - n_b, remp - pb), n_b
+
+    (_, _), outs = jax.lax.scan(
+        body, (totals.astype(F32), jnp.ones_like(totals, F32)),
+        (jnp.moveaxis(probs, -1, 0), jr.split(key, B)))
+    return jnp.moveaxis(outs, 0, -1)
 
 
 def _group_counts(arrays: ModelArrays, masks):
@@ -314,10 +321,7 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         # (i) source → infector edges, per-edge success on the source side
         u1 = jr.uniform(k1, (N,), F32)
         succ = sources & has_infector & (u1 < sched.trace_p)
-        pos = jnp.cumsum(succ.astype(I32)) - 1
-        slot = jnp.where(succ & (pos < Tcap), pos, Tcap)
-        srcbuf = jnp.full(Tcap + 1, N, I32).at[slot].set(
-            jnp.arange(N, dtype=I32))[:Tcap]
+        srcbuf, n_succ = compact_indices(succ, Tcap)
         tgt = state.infector[jnp.clip(srcbuf, 0, N - 1)]
         tgt = jnp.where(srcbuf < N, tgt, N)
         hit1 = jnp.zeros(N + 1, bool).at[tgt].set(True)[:N]
@@ -329,7 +333,7 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         hit2 = has_infector & src_tracked[infector_safe] & (u2 < sched.trace_p)
         eligible = active & ~is_dead & ~was_detected & ~queued
         newq = eligible & (hit1 | hit2)
-        overflow = (pos[-1] + 1) > Tcap
+        overflow = n_succ > Tcap
         return queued | newq, newq, overflow
 
     def do_tracing(queued):
@@ -590,7 +594,7 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         hi = arrays.age_start[jnp.minimum(arrays.import_max_age[cls] + 1, A)]
         pos = lo + jnp.floor(
             u_imp[..., 1] * jnp.maximum(hi - lo, 1).astype(F32)).astype(I32)
-        cand = arrays.age_perm[jnp.clip(pos, 0, N - 1)]          # (M, attempts)
+        cand = jnp.clip(pos, 0, N - 1)     # age-sorted layout: pos = agent id
         # one combined status gather: susceptible ⇔ SUSCEPTIBLE state
         cand_ok = susceptible[cand] & (hi > lo)
         first = jnp.argmax(cand_ok, axis=1)
@@ -611,19 +615,20 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     newly = new_contact | import_mask
     variant_new = jnp.where(import_mask, import_var, new_variant)
 
+    # ONE compact buffer over all of today's new infections (contacts +
+    # imports): attribution runs on the contact slots, per-infection
+    # gamma draws on every slot — Kcap ≪ N, so the duration sampling
+    # costs a fraction of full-N draws.
+    Kcap = cfg.infection_buffer
+    buf_agent, n_new = compact_indices(newly, Kcap)
+    problem = jnp.where(n_new > Kcap,
+                        problem | C.PROBLEM_INFECTION_BUFFER_OVERFLOW, problem)
+    slot_used = buf_agent < N
+    buf_agent_c = jnp.clip(buf_agent, 0, N - 1)
     # infector attribution for contact infections: two-stage categorical
     # (source age class ∝ C[a,v]·T[v,a,b], then source within class ∝
     # contacts × infectiousness) — exact under dart Poissonization
-    Kcap = cfg.infection_buffer
-    pos_new = jnp.cumsum(new_contact.astype(I32)) - 1
-    n_new = pos_new[-1] + 1
-    problem = jnp.where(n_new > Kcap,
-                        problem | C.PROBLEM_INFECTION_BUFFER_OVERFLOW, problem)
-    slot_of_agent = jnp.where(new_contact & (pos_new < Kcap), pos_new, Kcap)
-    buf_agent = jnp.full(Kcap + 1, N, I32).at[slot_of_agent].set(
-        jnp.arange(N, dtype=I32))[:Kcap]
-    slot_used = buf_agent < N
-    buf_agent_c = jnp.clip(buf_agent, 0, N - 1)
+    slot_contact = new_contact[buf_agent_c] & slot_used
 
     C_av = jnp.sum(K_g * ig, axis=(2, 3))                        # (A, V)
     b_i = band_t[buf_agent_c]
@@ -633,17 +638,10 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     logw = jnp.where(w > 0, jnp.log(jnp.maximum(w, 1e-30)), -jnp.inf)
     a_star = jnp.argmax(logw + gumb, axis=1).astype(I32)
 
+    # the agent layout is age-sorted, so per-variant weights are already
+    # in age order — no N-permutation gather needed
     c_s = jnp.where(exposer, k_s.astype(F32) * inf_base, 0.0)
-    if V == 2:
-        # pack variant into the sign so the age-sorted reorder is ONE
-        # gather instead of two (c_s ≥ 0; sign splits it back exactly)
-        c_pack = jnp.where(variant == 1, -c_s, c_s)[arrays.age_perm]
-        c_by_variant = [jnp.maximum(c_pack, 0.0), jnp.maximum(-c_pack, 0.0)]
-    else:
-        c_sorted = c_s[arrays.age_perm]
-        var_sorted = variant[arrays.age_perm]
-        c_by_variant = [jnp.where(var_sorted == v, c_sorted, 0.0)
-                        for v in range(V)]
+    c_by_variant = [jnp.where(variant == v, c_s, 0.0) for v in range(V)]
     u_src = jr.uniform(k_attr_src, (Kcap,), F32)
     infector_new = jnp.full(Kcap, -1, I32)
     for v in range(V):
@@ -659,8 +657,8 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         pos_v = searchsorted_fixed(cum_v, x, side="left",
                                    lo_init=lo_i, hi_init=hi_i,
                                    max_range=cfg.max_age_cohort)
-        src_v = arrays.age_perm[jnp.clip(pos_v, 0, N - 1)]
-        ok_v = (v_i == v) & (hi_c > lo_c) & slot_used
+        src_v = jnp.clip(pos_v, 0, N - 1)  # age-sorted layout: pos = agent id
+        ok_v = (v_i == v) & (hi_c > lo_c) & slot_contact
         infector_new = jnp.where(ok_v, src_v, infector_new)
 
     infector = state.infector.at[jnp.where(slot_used, buf_agent, N)].set(
@@ -668,18 +666,23 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     src_scatter = jnp.where(slot_used & (infector_new >= 0), infector_new, N)
     n_infected = state.n_infected.at[src_scatter].add(1, mode="drop")
 
-    # initialize newly-infected fields (person_infect, main.pyx:209-235)
+    # initialize newly-infected fields (person_infect, main.pyx:209-235);
+    # standard-gamma draws happen on the Kcap slot domain and scatter to
+    # agents, the (variant, severity)-dependent scale applies per agent
     sev_new, outside_new = _severity_draw(k_sev, arrays, variant_new, V,
                                           dov, day)
     kappa_inc = 1.0 / (C.INCUBATION_CV ** 2)
-    theta_inc = (C.INCUBATION_CV ** 2) * _vsel(arrays.mu_incub, variant_new, V)
-    g_inc = gamma_fixed(k_gam1, kappa_inc, (N,)) * theta_inc
-    incub_days = _round_to_int(g_inc)
     kappa_o2r = 1.0 / (C.ONSET_TO_REMOVED_CV ** 2)
+    g1_slot = gamma_fixed(k_gam1, kappa_inc, (Kcap,))
+    g2_slot = gamma_fixed(k_gam2, kappa_o2r, (Kcap,))
+    g_std_inc = jnp.zeros(N, F32).at[buf_agent].set(g1_slot, mode="drop")
+    g_std_o2r = jnp.zeros(N, F32).at[buf_agent].set(g2_slot, mode="drop")
+    theta_inc = (C.INCUBATION_CV ** 2) * _vsel(arrays.mu_incub, variant_new, V)
+    incub_days = _round_to_int(g_std_inc * theta_inc)
     mu_o2r = jnp.where(sev_new == C.FATAL,
                        _vsel(arrays.mu_death, variant_new, V),
                        _vsel(arrays.mu_recov, variant_new, V))
-    g_o2r = gamma_fixed(k_gam2, kappa_o2r, (N,)) * (C.ONSET_TO_REMOVED_CV ** 2) * mu_o2r
+    g_o2r = g_std_o2r * (C.ONSET_TO_REMOVED_CV ** 2) * mu_o2r
 
     new_st = jnp.where(newly, C.INCUBATION, new_st)
     sev_out = jnp.where(newly, sev_new.astype(I32), sev)

@@ -1,0 +1,40 @@
+"""Stream compaction without N-sized scatters.
+
+Packing the set positions of an (N,) mask into a fixed-capacity buffer
+is the classic XLA pattern ``zeros(K+1).at[slot].set(iota(N))`` — a
+scatter with an N-sized update stream, which on TPU runs through the
+scalar pipeline at ~12-14 ms per op at N≈1.7M (tools/profile_ops_sync.py).
+The equivalent here costs one cumsum plus log2(N) rounds of K-sized
+gathers (~20× cheaper): the s-th set position is the first index where
+the inclusive cumsum of the mask reaches s+1, found by bisection.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .random import searchsorted_fixed
+
+I32 = jnp.int32
+
+
+def compact_indices(mask, capacity: int):
+    """Pack the indices of set positions of ``mask`` into a buffer.
+
+    Args:
+      mask: (N,) bool.
+      capacity: static buffer size K.
+
+    Returns:
+      buf: (K,) int32 — the first K set indices in ascending order;
+        unused slots hold N (a safe out-of-range sentinel for
+        ``mode="drop"`` scatters and clipped gathers).
+      count: scalar int32 — total set positions (may exceed K; callers
+        flag overflow when count > K).
+    """
+    n = mask.shape[0]
+    cum = jnp.cumsum(mask.astype(I32))                 # inclusive
+    count = cum[-1]
+    slots = jnp.arange(capacity, dtype=I32)
+    buf = searchsorted_fixed(cum, slots + 1, side="left")
+    used = slots < jnp.minimum(count, capacity)
+    return jnp.where(used, buf, n), count

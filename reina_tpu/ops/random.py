@@ -1,29 +1,34 @@
-"""While-loop-free random samplers.
+"""While-loop-free random samplers with fixed rejection rounds.
 
 ``jax.random.gamma``/``binomial`` use rejection loops built on
-``lax.while_loop``. On this TPU toolchain a single while-loop op in a
-large program serializes scheduling around it (measured: one
-``jr.gamma(N=1.7M)`` call inflates the surrounding program by ~240 ms
-and the clamped-scan/roll path by another ~130 ms — tools/profile_chain.py),
-and each distinct while body adds minutes of compile time. These
-samplers replace rejection *loops* with a fixed number of unrolled
-rejection *rounds* — pure elementwise code. Acceptance per round is
-high (≳95%), so with 6-8 rounds the probability that any lane exhausts
-its rounds is ≪1e-6 per draw; exhausted lanes fall back to a clamped
-moment-matched value, a bias far below sampling noise.
+``lax.while_loop`` with data-dependent trip counts, which de-optimize
+scheduling of the surrounding program on this TPU toolchain (measured:
+one ``jr.gamma(N=1.7M)`` call inflates the surrounding program by
+~240 ms — tools/profile_chain.py). These samplers run a FIXED number of
+rejection rounds instead. Acceptance per round is high (≳86-99%), so
+the probability that any lane exhausts its rounds is negligible;
+exhausted lanes fall back to a clamped moment-matched value, a bias far
+below sampling noise.
+
+The fixed rounds execute under ``lax.scan`` (static trip count — no
+dynamic while): an unrolled BTRS round costs ~200 jaxpr equations and
+the day step needs dozens of sampler instances, which blew the full
+program past 35k equations and XLA compile past 10 minutes; scanning
+the rounds keeps each sampler at one body.
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
 import jax.random as jr
+from jax import lax
 
 F32 = jnp.float32
 
 
 def gamma_fixed(key, kappa: float, shape, rounds: int = 6):
     """Standard Gamma(kappa) for kappa > 1 via Marsaglia–Tsang squeeze
-    with ``rounds`` unrolled rejection rounds (acceptance ≈ 96-99%).
+    with ``rounds`` rejection rounds (acceptance ≈ 96-99%).
 
     Returns float32 array of ``shape``.
     """
@@ -31,24 +36,25 @@ def gamma_fixed(key, kappa: float, shape, rounds: int = 6):
     d = kappa - 1.0 / 3.0
     c = 1.0 / jnp.sqrt(9.0 * d)
 
-    out = jnp.full(shape, jnp.nan, F32)
-    done = jnp.zeros(shape, bool)
-    for r in range(rounds):
-        kx, ku, key = jr.split(jr.fold_in(key, r), 3)
+    def body(carry, k):
+        out, done = carry
+        kx, ku = jr.split(k)
         x = jr.normal(kx, shape, F32)
         v = (1.0 + c * x) ** 3
         u = jr.uniform(ku, shape, F32, minval=1e-37)
         ok = (v > 0) & (jnp.log(u) < 0.5 * x * x + d - d * v
                         + d * jnp.log(jnp.maximum(v, 1e-37)))
         take = ok & ~done
-        out = jnp.where(take, d * v, out)
-        done = done | ok
+        return (jnp.where(take, d * v, out), done | ok), None
+
+    init = (jnp.full(shape, jnp.nan, F32), jnp.zeros(shape, bool))
+    (out, done), _ = lax.scan(body, init, jr.split(key, rounds))
     # fallback: mean of the distribution (P(reach) < 1e-8 for rounds=8)
     return jnp.where(done, out, kappa).astype(F32)
 
 
 def _binomial_inversion(key, n, p, max_count: int = 64):
-    """Binomial via CDF inversion with a fixed unrolled horizon —
+    """Binomial via CDF inversion with a fixed scan horizon —
     exact for counts < max_count, clamped above (use when n·p ≲ 10:
     P(X ≥ 64 | mean ≤ 10) < 1e-30)."""
     n = n.astype(F32)
@@ -56,21 +62,21 @@ def _binomial_inversion(key, n, p, max_count: int = 64):
     u = jr.uniform(key, n.shape, F32)
     # pmf recurrence: f(0) = (1-p)^n; f(k+1) = f(k)·(n-k)/(k+1)·p/(1-p)
     q = jnp.maximum(1.0 - p, 1e-37)
-    logf = n * jnp.log(q)
-    f = jnp.exp(logf)
-    cdf = f
-    count = jnp.zeros(n.shape, F32)
-    settled = u < cdf
+    f = jnp.exp(n * jnp.log(q))
     ratio = p / q
-    for k in range(max_count):
-        f = f * (n - k) / (k + 1.0) * ratio
-        f = jnp.maximum(f, 0.0)
+
+    def body(carry, k):
+        f, cdf, count, settled = carry
+        f = jnp.maximum(f * (n - k) / (k + 1.0) * ratio, 0.0)
         cdf = cdf + f
         newly = ~settled & (u < cdf)
         count = jnp.where(newly, k + 1.0, count)
-        settled = settled | newly
-    count = jnp.where(settled, count, jnp.minimum(n, max_count))
-    return count
+        return (f, cdf, count, settled | newly), None
+
+    init = (f, f, jnp.zeros(n.shape, F32), u < f)
+    (_, _, count, settled), _ = lax.scan(
+        body, init, jnp.arange(max_count, dtype=F32))
+    return jnp.where(settled, count, jnp.minimum(n, max_count))
 
 
 def _binomial_btrs(key, n, p, rounds: int = 8):
@@ -116,10 +122,9 @@ def _binomial_btrs(key, n, p, rounds: int = 8):
                  - d + fc(b_) - fc(jnp.maximum(n - k, 1.0)))
         return d * log_r + part1 + part2
 
-    out = jnp.full(n.shape, jnp.nan, F32)
-    done = jnp.zeros(n.shape, bool)
-    for rd in range(rounds):
-        ku, kv = jr.split(jr.fold_in(key, rd))
+    def body(carry, rk):
+        out, done = carry
+        ku, kv = jr.split(rk)
         u = jr.uniform(ku, n.shape, F32) - 0.5
         v = jr.uniform(kv, n.shape, F32, minval=1e-37)
         us = 0.5 - jnp.abs(u)
@@ -132,8 +137,10 @@ def _binomial_btrs(key, n, p, rounds: int = 8):
         v2 = jnp.log(v * alpha / (a / (us * us) + b))
         accept = in_range & (easy | (v2 <= log_pmf_ratio(k_c)))
         take = accept & ~done
-        out = jnp.where(take, k_c, out)
-        done = done | accept
+        return (jnp.where(take, k_c, out), done | accept), None
+
+    init = (jnp.full(n.shape, jnp.nan, F32), jnp.zeros(n.shape, bool))
+    (out, done), _ = lax.scan(body, init, jr.split(key, rounds))
     return jnp.where(done, out, jnp.round(n * p))
 
 
@@ -172,11 +179,16 @@ def searchsorted_fixed(sorted_arr, queries, side: str = "left",
           else lo_init.astype(jnp.int32))
     hi = (jnp.full(queries.shape, n, jnp.int32) if hi_init is None
           else hi_init.astype(jnp.int32))
-    for _ in range(n_steps):
+
+    def body(carry, _):
+        lo, hi = carry
         active = lo < hi
         mid = (lo + hi) // 2
         vals = sorted_arr[jnp.clip(mid, 0, n - 1)]
         go_right = (vals < queries) if side == "left" else (vals <= queries)
         lo = jnp.where(active & go_right, mid + 1, lo)
         hi = jnp.where(active & ~go_right, mid, hi)
+        return (lo, hi), None
+
+    (lo, hi), _ = lax.scan(body, (lo, hi), None, length=n_steps)
     return lo

@@ -35,7 +35,9 @@ def main() -> None:
           f"padded={run.init_state.age.shape[0]}, device={jax.devices()[0]}",
           file=sys.stderr)
 
-    chunk = 91  # 364 steps = 4 × 91
+    chunk = 28  # 364 steps = 13 × 28; XLA compile time grows super-
+    #             linearly with the scan trip count on this toolchain,
+    #             and per-chunk host sync is ~30 ms (0.4 s total)
     key = jr.PRNGKey(run.random_seed)
 
     # Warm-up: compile the chunk program and run the first chunk.
@@ -47,18 +49,18 @@ def main() -> None:
     print(f"compile+first chunk: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
-    # Timed full run (fresh state, compiled program).
+    # Timed full run (fresh state, compiled program): 364 = 13 × 28 days.
     t0 = time.perf_counter()
     state, carry = run.init_state, run.init_carry
     day = 0
-    for _ in range(4):
+    for _ in range(364 // chunk):
         state, carry, outs = run_chunk(run.cfg, run.arrays, run.schedules,
                                        state, carry, key, chunk, day)
         day += chunk
-    jax.block_until_ready(outs)
-    wall = time.perf_counter() - t0
-
+    # block_until_ready does not synchronize through the axon tunnel;
+    # the host transfer below is the hard sync that ends the timing.
     infected_final = int(np.asarray(outs.by_group)[-1, 3].sum())
+    wall = time.perf_counter() - t0
     print(f"wall: {wall:.3f}s for {day} steps "
           f"({wall / day * 1000:.2f} ms/day), final all_infected={infected_final}",
           file=sys.stderr)

@@ -56,6 +56,7 @@ PROBLEM_IMPORT_BUFFER_OVERFLOW = 1 << 1
 PROBLEM_CONTACT_PROBABILITY = 1 << 2
 PROBLEM_HOSPITAL_ACCOUNTING = 1 << 3
 PROBLEM_WRONG_STATE = 1 << 4
+PROBLEM_TRACING_BUFFER_OVERFLOW = 1 << 5
 
 PROBLEM_TO_STR = {
     PROBLEM_INFECTION_BUFFER_OVERFLOW: "New-infection buffer overflow",
@@ -63,6 +64,7 @@ PROBLEM_TO_STR = {
     PROBLEM_CONTACT_PROBABILITY: "Contact probability failure",
     PROBLEM_HOSPITAL_ACCOUNTING: "Hospital accounting failure",
     PROBLEM_WRONG_STATE: "Wrong state",
+    PROBLEM_TRACING_BUFFER_OVERFLOW: "Contact-tracing buffer overflow",
 }
 
 # Infectiousness over time relative to symptom onset, days -10..+10.

@@ -46,6 +46,8 @@ F32 = jnp.float32
 class EngineConfig:
     """Static engine knobs (hashable; passed as a static jit arg)."""
     infection_buffer: int = 1 << 16   # max new contact-infections per day
+    infection_head: int = 1 << 12    # always-on buffer tier; the rest runs
+    #                                  under lax.cond on high-incidence days
     import_buffer: int = 512          # max imported infections per day
     import_attempts: int = 10         # susceptible-search retries (main.pyx:1657)
     max_age_cohort: int = 1 << 16     # ≥ largest single-age population
@@ -305,38 +307,40 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
 
     ct_active = sched.testing_mode == C.TESTING_ALL_WITH_SYMPTOMS_CT
     is_dead = st == C.DEAD
-    infector_safe = jnp.clip(state.infector, 0, N - 1)
     has_infector = state.infector >= 0
 
     Tcap = cfg.infection_buffer  # compact traced-source buffer size
-
-    def trace_round(sources, queued, k):
-        """One BFS level. A candidate is queued iff ANY of its edges
-        succeeds a Bernoulli(trace_p) draw — per-edge draws are exactly
-        the reference's first-edge-wins queueing (P = 1 − (1−p)^n).
-        Edges from sources to their infector go through a compact
-        buffer so the scatter stays small; edges to infectees are the
-        per-agent infector back-pointer check."""
-        k1, k2 = jr.split(k)
-        # (i) source → infector edges, per-edge success on the source side
-        u1 = jr.uniform(k1, (N,), F32)
-        succ = sources & has_infector & (u1 < sched.trace_p)
-        srcbuf, n_succ = compact_indices(succ, Tcap)
-        tgt = state.infector[jnp.clip(srcbuf, 0, N - 1)]
-        tgt = jnp.where(srcbuf < N, tgt, N)
-        hit1 = jnp.zeros(N + 1, bool).at[tgt].set(True)[:N]
-        # (ii) infectee edges (valid while the source is still infected
-        # and was infected under contact tracing — the reference frees
-        # infectee lists on removal, main.pyx:301-307)
-        src_tracked = sources & state.ct_tracked & state.is_infected
-        u2 = jr.uniform(k2, (N,), F32)
-        hit2 = has_infector & src_tracked[infector_safe] & (u2 < sched.trace_p)
-        eligible = active & ~is_dead & ~was_detected & ~queued
-        newq = eligible & (hit1 | hit2)
-        overflow = n_succ > Tcap
-        return queued | newq, newq, overflow
+    infector_safe = jnp.clip(state.infector, 0, N - 1)
 
     def do_tracing(queued):
+        def trace_round(sources, queued, k):
+            """One BFS level. A candidate is queued iff ANY of its edges
+            succeeds a Bernoulli(trace_p) draw — per-edge draws are
+            exactly the reference's first-edge-wins queueing
+            (P = 1 − (1−p)^n). Edges from sources to their infector go
+            through a compact source buffer; infectee edges are the
+            per-agent infector back-pointer check (an N-query gather —
+            ~12 ms, but the exact alternative scales with the
+            cumulative undetected-infected count, which is worse over
+            a full epidemic)."""
+            k1, k2 = jr.split(k)
+            # (i) source → infector edges, per-edge success on the source side
+            u1 = jr.uniform(k1, (N,), F32)
+            succ = sources & has_infector & (u1 < sched.trace_p)
+            srcbuf, n_succ = compact_indices(succ, Tcap)
+            tgt = state.infector[jnp.clip(srcbuf, 0, N - 1)]
+            tgt = jnp.where(srcbuf < N, tgt, N)
+            hit1 = jnp.zeros(N + 1, bool).at[tgt].set(True)[:N]
+            # (ii) infectee edges (valid while the source is still
+            # infected and was infected under contact tracing — the
+            # reference frees infectee lists on removal, main.pyx:301-307)
+            src_ok = sources & state.ct_tracked & state.is_infected
+            u2 = jr.uniform(k2, (N,), F32)
+            hit2 = has_infector & src_ok[infector_safe] & (u2 < sched.trace_p)
+            eligible = active & ~is_dead & ~was_detected & ~queued
+            newq = eligible & (hit1 | hit2)
+            return queued | newq, newq, n_succ > Tcap
+
         q1, s1, ov1 = trace_round(drained, queued, k_trace1)
         q2, _s2, ov2 = trace_round(s1, q1, k_trace2)
         return q2, ov1 | ov2
@@ -348,7 +352,7 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         ct_active & (ct_cases > 0), do_tracing,
         lambda q: (q, jnp.bool_(False)), queued)
     problem = jnp.where(trace_overflow,
-                        problem | C.PROBLEM_INFECTION_BUFFER_OVERFLOW,
+                        problem | C.PROBLEM_TRACING_BUFFER_OVERFLOW,
                         problem)
 
     # Vaccination: oldest-first quota without permutation gathers —
@@ -619,47 +623,97 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     # imports): attribution runs on the contact slots, per-infection
     # gamma draws on every slot — Kcap ≪ N, so the duration sampling
     # costs a fraction of full-N draws.
+    #
+    # The slot pipeline (bisect compaction, attribution bisects, gumbel
+    # age draw, gamma draws) costs ~0.45 ms per bisection round per 64k
+    # queries (gather-rate bound, see tools/profile_ops_sync.py), so it
+    # runs in two tiers: a small head every day, and the large tail
+    # under lax.cond only on days with > infection_head new infections.
     Kcap = cfg.infection_buffer
-    buf_agent, n_new = compact_indices(newly, Kcap)
+    Kh = min(cfg.infection_head, Kcap)
+    cum_newly = jnp.cumsum(newly.astype(I32))
+    n_new = cum_newly[-1]
     problem = jnp.where(n_new > Kcap,
                         problem | C.PROBLEM_INFECTION_BUFFER_OVERFLOW, problem)
-    slot_used = buf_agent < N
-    buf_agent_c = jnp.clip(buf_agent, 0, N - 1)
-    # infector attribution for contact infections: two-stage categorical
-    # (source age class ∝ C[a,v]·T[v,a,b], then source within class ∝
-    # contacts × infectiousness) — exact under dart Poissonization
-    slot_contact = new_contact[buf_agent_c] & slot_used
 
-    C_av = jnp.sum(K_g * ig, axis=(2, 3))                        # (A, V)
-    b_i = band_t[buf_agent_c]
-    v_i = variant_new[buf_agent_c]
-    w = C_av.T[v_i] * Tq.transpose(0, 2, 1)[v_i, b_i]            # (Kcap, A)
-    gumb = jr.gumbel(k_attr_age, w.shape, F32)
-    logw = jnp.where(w > 0, jnp.log(jnp.maximum(w, 1e-30)), -jnp.inf)
-    a_star = jnp.argmax(logw + gumb, axis=1).astype(I32)
+    def compact_part(lo_slot: int, n_slots: int):
+        slots = lo_slot + jnp.arange(n_slots, dtype=I32)
+        buf = searchsorted_fixed(cum_newly, slots + 1, side="left")
+        used = slots < jnp.minimum(n_new, Kcap)
+        return jnp.where(used, buf, N)
 
     # the agent layout is age-sorted, so per-variant weights are already
     # in age order — no N-permutation gather needed
     c_s = jnp.where(exposer, k_s.astype(F32) * inf_base, 0.0)
-    c_by_variant = [jnp.where(variant == v, c_s, 0.0) for v in range(V)]
-    u_src = jr.uniform(k_attr_src, (Kcap,), F32)
-    infector_new = jnp.full(Kcap, -1, I32)
-    for v in range(V):
-        cum_v = jnp.cumsum(c_by_variant[v])
-        lo_i = arrays.age_start[a_star]
-        hi_i = arrays.age_start[a_star + 1]
-        lo_c = jnp.where(lo_i > 0, cum_v[jnp.maximum(lo_i - 1, 0)], 0.0)
-        hi_c = cum_v[jnp.maximum(hi_i - 1, 0)]
-        x = lo_c + u_src * (hi_c - lo_c)
-        # the source lives inside the sampled age bucket: bracket the
-        # bisect to [age_start[a*], age_start[a*+1]) — largest age
-        # cohort < 2^16 agents, so 17 gather steps instead of 21
-        pos_v = searchsorted_fixed(cum_v, x, side="left",
-                                   lo_init=lo_i, hi_init=hi_i,
-                                   max_range=cfg.max_age_cohort)
-        src_v = jnp.clip(pos_v, 0, N - 1)  # age-sorted layout: pos = agent id
-        ok_v = (v_i == v) & (hi_c > lo_c) & slot_contact
-        infector_new = jnp.where(ok_v, src_v, infector_new)
+    cum_v_all = [jnp.cumsum(jnp.where(variant == v, c_s, 0.0))
+                 for v in range(V)]
+    C_av = jnp.sum(K_g * ig, axis=(2, 3))                        # (A, V)
+    kappa_inc = 1.0 / (C.INCUBATION_CV ** 2)
+    kappa_o2r = 1.0 / (C.ONSET_TO_REMOVED_CV ** 2)
+
+    def slot_pipeline(buf_part, part: int):
+        """Attribution + standard-gamma draws for one buffer tier.
+        Attribution is a two-stage categorical: source age class ∝
+        C[a,v]·T[v,a,b], then source within class ∝ contacts ×
+        infectiousness — exact under dart Poissonization."""
+        m = buf_part.shape[0]
+        used = buf_part < N
+        bp = jnp.clip(buf_part, 0, N - 1)
+        contact_p = new_contact[bp] & used
+        b_i = band_t[bp]
+        v_i = variant_new[bp]
+        w = C_av.T[v_i] * Tq.transpose(0, 2, 1)[v_i, b_i]        # (m, A)
+        gumb = jr.gumbel(jr.fold_in(k_attr_age, part), w.shape, F32)
+        logw = jnp.where(w > 0, jnp.log(jnp.maximum(w, 1e-30)), -jnp.inf)
+        a_star = jnp.argmax(logw + gumb, axis=1).astype(I32)
+        u_src = jr.uniform(jr.fold_in(k_attr_src, part), (m,), F32)
+        inf_new = jnp.full(m, -1, I32)
+        for v in range(V):
+            cum_v = cum_v_all[v]
+            lo_i = arrays.age_start[a_star]
+            hi_i = arrays.age_start[a_star + 1]
+            lo_c = jnp.where(lo_i > 0, cum_v[jnp.maximum(lo_i - 1, 0)], 0.0)
+            hi_c = cum_v[jnp.maximum(hi_i - 1, 0)]
+            x = lo_c + u_src * (hi_c - lo_c)
+            # the source lives inside the sampled age bucket: bracket
+            # the bisect to [age_start[a*], age_start[a*+1])
+            pos_v = searchsorted_fixed(cum_v, x, side="left",
+                                       lo_init=lo_i, hi_init=hi_i,
+                                       max_range=cfg.max_age_cohort)
+            src_v = jnp.clip(pos_v, 0, N - 1)   # age-sorted: pos = agent id
+            ok_v = (v_i == v) & (hi_c > lo_c) & contact_p
+            inf_new = jnp.where(ok_v, src_v, inf_new)
+        g1 = gamma_fixed(jr.fold_in(k_gam1, part), kappa_inc, (m,))
+        g2 = gamma_fixed(jr.fold_in(k_gam2, part), kappa_o2r, (m,))
+        return inf_new, g1, g2
+
+    # geometric tiers (head, 3·head, 9·head, …): a day pays only for the
+    # tiers its infection count reaches
+    buf0 = compact_part(0, Kh)
+    parts = [(buf0,) + slot_pipeline(buf0, 0)]
+    lo = Kh
+    pidx = 1
+    while lo < Kcap:
+        seg = min(lo * 3, Kcap) - lo
+
+        def do_seg(_, lo=lo, seg=seg, pidx=pidx):
+            b = compact_part(lo, seg)
+            return (b,) + slot_pipeline(b, pidx)
+
+        parts.append(jax.lax.cond(
+            n_new > lo, do_seg,
+            lambda _, seg=seg: (jnp.full(seg, N, I32),
+                                jnp.full(seg, -1, I32),
+                                jnp.zeros(seg, F32), jnp.zeros(seg, F32)),
+            0))
+        lo += seg
+        pidx += 1
+    if len(parts) == 1:
+        buf_agent, infector_new, g1_slot, g2_slot = parts[0]
+    else:
+        buf_agent, infector_new, g1_slot, g2_slot = (
+            jnp.concatenate([p[i] for p in parts]) for i in range(4))
+    slot_used = buf_agent < N
 
     infector = state.infector.at[jnp.where(slot_used, buf_agent, N)].set(
         infector_new, mode="drop")
@@ -667,14 +721,10 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     n_infected = state.n_infected.at[src_scatter].add(1, mode="drop")
 
     # initialize newly-infected fields (person_infect, main.pyx:209-235);
-    # standard-gamma draws happen on the Kcap slot domain and scatter to
+    # standard-gamma draws happened on the slot domain and scatter to
     # agents, the (variant, severity)-dependent scale applies per agent
     sev_new, outside_new = _severity_draw(k_sev, arrays, variant_new, V,
                                           dov, day)
-    kappa_inc = 1.0 / (C.INCUBATION_CV ** 2)
-    kappa_o2r = 1.0 / (C.ONSET_TO_REMOVED_CV ** 2)
-    g1_slot = gamma_fixed(k_gam1, kappa_inc, (Kcap,))
-    g2_slot = gamma_fixed(k_gam2, kappa_o2r, (Kcap,))
     g_std_inc = jnp.zeros(N, F32).at[buf_agent].set(g1_slot, mode="drop")
     g_std_o2r = jnp.zeros(N, F32).at[buf_agent].set(g2_slot, mode="drop")
     theta_inc = (C.INCUBATION_CV ** 2) * _vsel(arrays.mu_incub, variant_new, V)

@@ -10,6 +10,7 @@ the inclusive cumsum of the mask reaches s+1, found by bisection.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .random import searchsorted_fixed
@@ -17,12 +18,16 @@ from .random import searchsorted_fixed
 I32 = jnp.int32
 
 
-def compact_indices(mask, capacity: int):
+def compact_indices(mask, capacity: int, head: int = 1 << 12):
     """Pack the indices of set positions of ``mask`` into a buffer.
 
     Args:
       mask: (N,) bool.
       capacity: static buffer size K.
+      head: always-computed tier size; slots beyond it are filled under
+        ``lax.cond`` only when the set count exceeds ``head`` — each
+        bisection round costs ~7 ns per query on this TPU, so the
+        common small-count day pays only for the head.
 
     Returns:
       buf: (K,) int32 — the first K set indices in ascending order;
@@ -34,7 +39,20 @@ def compact_indices(mask, capacity: int):
     n = mask.shape[0]
     cum = jnp.cumsum(mask.astype(I32))                 # inclusive
     count = cum[-1]
-    slots = jnp.arange(capacity, dtype=I32)
-    buf = searchsorted_fixed(cum, slots + 1, side="left")
-    used = slots < jnp.minimum(count, capacity)
-    return jnp.where(used, buf, n), count
+
+    def part(lo_slot: int, n_slots: int):
+        slots = lo_slot + jnp.arange(n_slots, dtype=I32)
+        buf = searchsorted_fixed(cum, slots + 1, side="left")
+        used = slots < jnp.minimum(count, capacity)
+        return jnp.where(used, buf, n)
+
+    kh = min(head, capacity)
+    parts = [part(0, kh)]
+    lo = kh
+    while lo < capacity:
+        seg = min(lo * 3, capacity) - lo   # tiers: head, 4·head, 16·head, …
+        parts.append(jax.lax.cond(
+            count > lo, lambda _, lo=lo, seg=seg: part(lo, seg),
+            lambda _: jnp.full(seg, n, I32), 0))
+        lo += seg
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts), count

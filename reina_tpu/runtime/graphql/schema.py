@@ -141,17 +141,21 @@ def iv_to_graphql_obj(iv, obj_id=None) -> Event:
     """reference graphql_schema.py:116-165."""
     params: List[Any] = []
     for p in iv.parameters:
+        # labels are stored as source-language strings and translated at
+        # resolve time against the request's active locale
         if isinstance(p, IntParameter):
             params.append(EventIntParameter(
-                id=p.id, description=p.label, required=p.required,
-                min_value=p.min_value, max_value=p.max_value, unit=p.unit,
+                id=p.id, description=_(p.label), required=p.required,
+                min_value=p.min_value, max_value=p.max_value,
+                unit=_(p.unit) if p.unit else p.unit,
                 value=iv.values.get(p.id)))
         elif isinstance(p, ChoiceParameter):
             c = iv.values.get(p.id)
             params.append(EventChoiceParameter(
-                id=p.id, description=p.label, required=p.required,
-                choices=[Choice(c2.id, c2.label) for c2 in (p.choices or [])],
-                choice=Choice(c.id, c.label) if c else None))
+                id=p.id, description=_(p.label), required=p.required,
+                choices=[Choice(c2.id, _(c2.label))
+                         for c2 in (p.choices or [])],
+                choice=Choice(c.id, _(c.label)) if c else None))
         else:
             raise GraphQLError("Unknown parameter type")
     modifiable = False
@@ -160,7 +164,7 @@ def iv_to_graphql_obj(iv, obj_id=None) -> Event:
         modifiable = True
     elif obj_id is not None:
         obj_id = "N%d" % obj_id
-    return Event(id=obj_id, type=iv.type, description=iv.label,
+    return Event(id=obj_id, type=iv.type, description=_(iv.label),
                  date=getattr(iv, "date", None), modifiable=modifiable,
                  parameters=params)
 
@@ -229,7 +233,7 @@ def results_to_metrics(results, only=None):
             else:
                 float_values = _opt_float_list(df[m.id])
         metrics.append(Metric(
-            type=m.id, label=m.label, description=m.description, unit=m.unit,
+            type=m.id, label=_(m.label), description=m.description, unit=_(m.unit) if m.unit else m.unit,
             color=m.color, is_integer=m.is_integer, is_simulated=m.is_simulated,
             is_categorized=m.is_categorized, int_values=int_values,
             float_values=float_values, categorized_int_values=categorized))
@@ -304,7 +308,7 @@ def resolve_validation_metrics(_root, info):
         if not m:
             raise GraphQLError("no metric found for %s" % col)
         metrics.append(Metric(
-            type=m.id, label=m.label, description=m.description, unit=m.unit,
+            type=m.id, label=_(m.label), description=m.description, unit=_(m.unit) if m.unit else m.unit,
             color=m.color, is_integer=m.is_integer, is_simulated=False,
             int_values=values))
     return DailyMetrics(dates=dates, metrics=metrics)

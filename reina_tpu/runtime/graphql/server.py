@@ -22,6 +22,7 @@ from typing import Dict, Optional, Tuple
 from .engine import execute
 from .schema import SCHEMA
 from ...config.variables import DEFAULT_VARIABLE_HASH, VariableStore
+from ...utils.locale import DEFAULT_LOCALE, TRANSLATIONS, set_active_locale
 
 SECRET = os.environ.get("SECRET_KEY", "reina-tpu-dev-secret").encode()
 COOKIE_NAME = "reina_session"
@@ -121,6 +122,9 @@ class GraphQLHandler(BaseHTTPRequestHandler):
             return
 
         store = load_session(self.headers.get("Cookie"))
+        # per-request locale: ?lang cookie wins, else Accept-Language
+        # (reference common/locale.py:15-23)
+        set_active_locale(self._request_locale())
         result = execute(SCHEMA, req.get("query", ""),
                          variables=req.get("variables"),
                          operation_name=req.get("operationName"),
@@ -135,6 +139,19 @@ class GraphQLHandler(BaseHTTPRequestHandler):
             f"{COOKIE_NAME}={dump_session(store)}; Path=/; HttpOnly; SameSite=Lax")
         self.end_headers()
         self.wfile.write(body)
+
+    def _request_locale(self) -> str:
+        cookies = self.headers.get("Cookie") or ""
+        for part in cookies.split(";"):
+            name, _, value = part.strip().partition("=")
+            if name == "lang" and value in TRANSLATIONS:
+                return value
+        accept = self.headers.get("Accept-Language") or ""
+        for item in accept.split(","):
+            code = item.split(";")[0].strip().split("-")[0].lower()
+            if code in TRANSLATIONS:
+                return code
+        return DEFAULT_LOCALE
 
     def log_message(self, fmt, *args):  # quiet access log
         pass

@@ -60,6 +60,120 @@ _FI = {
     "Reproductive number (Rₜ)": "Tartuttavuusluku (Rₜ)",
     "Infection fatality ratio (IFR)": "Tartuntakuolleisuus (IFR)",
     "Case fatality ratio (CFR)": "Tapauskuolleisuus (CFR)",
+    # full coverage of the reference's fi catalogue
+    # (locale/fi/LC_MESSAGES/messages.po) for strings our APIs surface
+    "Region Name": "Alueen nimi",
+    "Region Population": "Alueen väkiluku",
+    "Date": "Päivämäärä",
+    "Event": "Tapahtuma",
+    "Value": "Arvo",
+    "Add a new event: ": "Lisää uusi tapahtuma: ",
+    "value": "arvo",
+    "Add": "Lisää",
+    "Restore default events": "Palauta oletustapahtumat",
+    "Settings": "Asetukset",
+    "Disease Parameters": "Taudin parametrit",
+    "Region Details": "Alueen tiedot",
+    "Timeframe": "Simuloitava aika",
+    "Run simulation": "Suorita simulaatio",
+    "Outcome": "Tulos",
+    "Scenario": "Skenaario",
+    "Preset": "Valmiit asetukset",
+    "Percentage of mild cases that are detected":
+        "Osuus miedoista tautitapauksista, jotka havaitaan",
+    "Percentage of infectors that are caught through contact tracing":
+        "Tartuntaketjun osuus, joka saadaan jäljityksellä kiinni",
+    "Reduction in contacts": "Vähennys kontakteissa",
+    "Minimum age for limitation": "Pienin ikä, jota rajoitus koskee",
+    "Maximum age for limitation": "Suurin ikä, jota rajoitus koskee",
+    "Place where the contacts happen": "Paikka jossa kontaktit tapahtuvat",
+    "Portion of daily contacts where masks are in use":
+        "Osuus päivittäisistä lähikontakteissa jossa maskia käytetään",
+    "Minimum age for intervention": "Pienin ikä, johon interventio vaikuttaa",
+    "Maximum age for intervention": "Suurin ikä, johon interventio vaikuttaa",
+    "Place where intervention happens": "Interventio tapahtumapaikka",
+    "Number of people vaccinated weekly": "Rokotusten määrä viikottain",
+    "Amount of new infections": "Uusien infektioiden lukumäärä",
+    "Variant of the disease": "Taudin variantti",
+    "Amount of new weekly infections":
+        "Uusien infektioiden lukumäärä viikossa",
+    "Number of new beds built": "Uusien sairaansijojen lukumäärä",
+    "Number of new ICU units built": "Uusien tehohoitoyksiköiden lukumäärä",
+    "Change in mobility compared to baseline":
+        "Muutos liikkuvuudessa vertailuajanjaksoon suhteutettuna",
+    "Retail and recreation": "Ostokset ja vapaa-aika",
+    "Grocery and pharmacy": "Ruokakaupat ja apteekit",
+    "Parks": "Puistot",
+    "Transit stations": "Joukkoliikennepysäkit",
+    "Workplaces": "Työpaikat",
+    "Residential": "Asuinrakennukset",
+    "Asymptomatic": "Oireeton",
+    "Mild": "Lievä",
+    "Severe": "Vakava",
+    "Critical": "Kriittinen",
+    "Fatal": "Fataali",
+    "Incubation period": "Itämisaika",
+    "Illness period": "Oireiluaika",
+    "Duration of regular hospital treatment": "Osastohoitojakson kesto",
+    "Duration of ICU treatment": "Tehohoitojakson kesto",
+    "days": "päivää",
+    "Symptom severity": "Oireiden vakavuus",
+    "Contacts per day": "Lähikontaktia päivässä",
+    "number of contacts": "kontaktien lukumäärä",
+    "Infectiousness over time": "Tarttuvuus ajan kuluessa",
+    "Day of illness": "Sairauspäivä",
+    "Ratio of all infected people who remain asymptomatic":
+        "Osuus tartunnan saaneista, jotka jäävät oireettomiksi",
+    "Relative infectiousness of asymptomatic cases":
+        "Oireettomien tapausten suhteellinen tarttuvuus",
+    "Probability of dying if severe symptoms and no hospital beds are available":
+        "Todennäköisyys kuolla, jos potilaalla on vakavat oireet eikä "
+        "sairaalahoitoa ole vapaana",
+    "Probability of dying if no ICU units are available":
+        "Tehohoitoa tarvitsevien osuus, joka kuolee jos tehohoitopaikkaa "
+        "ei ole vapaana",
+    "Mean incubation period length": "Keskimääräinen inkubaatioaika",
+    "Mean duration from symptom onset to recovery":
+        "Keskimääräinen aika oireiden alkamisesta toipumiseen",
+    "Mean duration from symptom onset to death":
+        "Keskimääräinen aika oireiden alkamisesta kuolemaan",
+    "Ratio of time before hospitalization":
+        "Osuus sairastamisajasta ennen osastohoitoa",
+    "Ratio of time in ward before ICU care":
+        "Osuus sairastamisajasta osastohoidossa ennen tehohoitoa",
+    "People who are a- or presymptomatic at simulation start":
+        "Oireettomat tai esioireiset henkilöt simulaation alussa",
+    "People who are ill with symptoms at simulation start":
+        "Oireilevat henkilöt simulaation alussa",
+    "People who have recovered from infection at simulation start":
+        "Infektiosta toipuneet henkilöt simulaation alussa",
+    "Description": "Kuvaus",
+    "Restore defaults": "Palauta oletukset",
+    "Distributions": "Jakaumat",
+    "Distributions based on model parameters":
+        "Mallin oletusten mukaiset jakaumat",
+    "Age of person": "Henkilön ikä",
+    "Hospitalized": "Sairaalassa",
+    "(cum.)": "(kum.)",
+    "(simulated)": "(simuloitu)",
+    "(real)": "(todellinen)",
+    "Validation": "Vertailu toteumaan",
+    "Testing": "Testaus",
+    "Limit mass gatherings": "Rajoitetaan kokoontumisia",
+    "Import infections": "Alueelle tulee infektioita",
+    "Population": "Väestö",
+    "Hospital beds": "Vuodepaikat",
+    "Free capacity in the healthcare system":
+        "Sairaanhoitojärjestelmän vapaa kapasiteetti",
+    "Infection fatality ratio (IFR, %)": "Infektiokuolleisuus (IFR, %)",
+    "Case fatality ratio (CFR, %)": "Tapauskuolleisuus (CFR, %)",
+    "Epidemic parameters": "Epidemian parametrit",
+    "Simulation result data": "Simulaatioajon tulosdata",
+    "Restriction Day Index": "Rajoituspäiväluku",
+    "Days ICU Capacity Exceeded": "Tehohoitokapasiteetin ylitys päivinä",
+    "Fatalities": "Kuolleet",
+    "Total number of deaths at the end of simulation.":
+        "Kuolleiden lukumäärä simulaation päättyessä.",
 }
 
 TRANSLATIONS = {"fi": _FI, "en": {}}

@@ -74,3 +74,41 @@ def test_binomial_fixed_large_n(n, p):
     mean, var = n * p, n * p * (1 - p)
     assert abs(x.mean() - mean) < 6 * np.sqrt(var / 50000)
     np.testing.assert_allclose(x.var(), var, rtol=0.05)
+
+
+def test_searchsorted_blocked_matches_reference():
+    import jax.numpy as jnp
+    import jax.random as jr
+    import numpy as np
+    from reina_tpu.ops.random import searchsorted_blocked
+
+    key = jr.PRNGKey(7)
+    w = jnp.where(jr.uniform(key, (4096,)) > 0.7,
+                  jr.uniform(jr.fold_in(key, 1), (4096,)), 0.0)
+    cum = jnp.cumsum(w)
+    q = jr.uniform(jr.fold_in(key, 2), (1000,)) * cum[-1]
+    ref = jnp.searchsorted(cum, q, side="left")
+    got = searchsorted_blocked(cum, q, side="left", block=128)
+    assert bool(jnp.all(got == ref))
+    # bracketed variant (brackets contain the answer)
+    lo_i = jnp.maximum(ref - jr.randint(jr.fold_in(key, 3), (1000,), 0, 300), 0)
+    hi_i = jnp.minimum(ref + 1 + jr.randint(jr.fold_in(key, 4), (1000,), 0, 300), 4096)
+    got2 = searchsorted_blocked(cum, q, side="left", block=128,
+                                lo_init=lo_i, hi_init=hi_i)
+    assert bool(jnp.all(got2 == ref))
+
+
+def test_compact_indices():
+    import jax.random as jr
+    import numpy as np
+    from reina_tpu.ops.compact import compact_indices
+
+    key = jr.PRNGKey(3)
+    for trial in range(4):
+        m = jr.uniform(jr.fold_in(key, trial), (2048,)) < 0.13
+        buf, cnt = compact_indices(m, 512)
+        idx = np.flatnonzero(np.asarray(m))
+        b = np.asarray(buf)
+        assert int(cnt) == len(idx)
+        assert (b[:len(idx)] == idx[:512]).all()
+        assert (b[len(idx):] == 2048).all()

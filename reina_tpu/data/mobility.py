@@ -43,3 +43,10 @@ def generate_vaccination_ivs(variables: Optional[dict] = None) -> List[list]:
     """THL vaccination-data derived ``vaccinate`` interventions."""
     area = (variables or {}).get("area_name") or get_variable("area_name")
     return _derived().get("vaccinations", {}).get(area, [])
+
+
+def get_mobility_series(area: str) -> Optional[dict]:
+    """Raw daily Google-mobility percent-change series for the area:
+    {"dates": [...], "values": {category: [v|None, ...]}}; None when the
+    derived archive is absent or lacks the area."""
+    return _derived().get("mobility_raw", {}).get(area)

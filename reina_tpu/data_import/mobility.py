@@ -26,6 +26,14 @@ PLACE_COLUMNS = (
     ("transit_stations_percent_change_from_baseline", "transport"),
 )
 
+# all six Google place categories (raw series for mobilityChangeMetrics)
+ALL_CATEGORIES = (
+    "retail_and_recreation", "grocery_and_pharmacy", "parks",
+    "transit_stations", "workplaces", "residential",
+)
+ALL_COLUMNS = tuple("%s_percent_change_from_baseline" % c
+                    for c in ALL_CATEGORIES)
+
 REGIONS = {
     "HUS": (1, "Uusimaa"),
     "Varsinais-Suomi": (1, "Southwest Finland"),
@@ -47,12 +55,22 @@ def read_region_series(csv_bytes: bytes, area_name: str) -> Dict[str, Dict[str, 
             if row.get("sub_region_2") != region:
                 continue
         vals = {}
-        for col, _place in PLACE_COLUMNS:
+        for col in ALL_COLUMNS:
             v = row.get(col, "")
             if v not in ("", None):
                 vals[col] = float(v)
         out[row["date"]] = vals
     return out
+
+
+def raw_daily_series(series: Dict[str, Dict[str, float]]) -> dict:
+    """{"dates": [...], "values": {category: [v|None, ...]}} — the raw
+    daily percent-change series served as mobilityChangeMetrics."""
+    dates = sorted(series)
+    values = {}
+    for cat, col in zip(ALL_CATEGORIES, ALL_COLUMNS):
+        values[cat] = [series[d].get(col) for d in dates]
+    return {"dates": dates, "values": values}
 
 
 def weekly_means(series: Dict[str, Dict[str, float]]) -> List[tuple]:
@@ -111,6 +129,8 @@ def import_zip(zip_path: str, areas: List[str], country: str = "FI",
                 series.update(read_region_series(zf.read(n), area))
             derived.setdefault("mobility", {})[area] = \
                 mobility_interventions(weekly_means(series))
+            derived.setdefault("mobility_raw", {})[area] = \
+                raw_daily_series(series)
 
     os.makedirs(FILES_DIR, exist_ok=True)
     np.savez_compressed(out_path, json_blob=np.array(json.dumps(derived)))

@@ -315,9 +315,44 @@ def resolve_validation_metrics(_root, info):
 
 
 def resolve_mobility_change_metrics(_root, info):
-    # Requires the Google-mobility derived dataset; empty when absent
-    # (the reference fetches it with an online ETL at deploy time).
-    return DailyMetrics(dates=[], metrics=[])
+    """7-day rolling means of the raw Google-mobility series
+    (reference graphql_schema.py:322-347). Empty when the derived
+    dataset is absent (the reference fetches it with an online ETL at
+    deploy time)."""
+    from ...data.mobility import get_mobility_series
+    raw = get_mobility_series(_get(info, "area_name"))
+    if not raw:
+        return DailyMetrics(dates=[], metrics=[])
+    dates = raw["dates"]
+    metrics = []
+    for cat, series in raw["values"].items():
+        m = get_metric("%s_mobility_change" % cat)
+        if m is None:
+            continue
+        vals = np.array([np.nan if v is None else float(v) for v in series])
+        roll = np.full(len(vals), np.nan)
+        for i in range(6, len(vals)):
+            w = vals[i - 6:i + 1]
+            if not np.isnan(w).any():
+                roll[i] = np.round(w.mean())
+        int_values = [None if np.isnan(v) else int(v) for v in roll]
+        metrics.append(Metric(
+            type=m.id, label=_(m.label), description=_(m.description),
+            unit=m.unit, color=m.color, is_integer=True, is_simulated=False,
+            int_values=int_values))
+    # drop leading all-null rows like the reference's dropna(how="all")
+    first = 0
+    for i in range(len(dates)):
+        if any(mm.int_values[i] is not None for mm in metrics):
+            first = i
+            break
+    return DailyMetrics(
+        dates=dates[first:],
+        metrics=[Metric(
+            type=mm.type, label=mm.label, description=mm.description,
+            unit=mm.unit, color=mm.color, is_integer=True,
+            is_simulated=False, int_values=mm.int_values[first:])
+            for mm in metrics])
 
 
 def resolve_area(_root, info):

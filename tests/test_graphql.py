@@ -222,3 +222,37 @@ def test_sample_distribution_endpoint():
     out = execute(SCHEMA, '{ sampleDistribution(what: "bogus") { what } }',
                   context=c)
     assert out.get("errors")
+
+
+def test_mobility_change_metrics(monkeypatch):
+    """7-day rolling means from the raw mobility archive
+    (reference graphql_schema.py:322-347)."""
+    from reina_tpu.data import mobility as mob
+
+    dates = ["2020-03-%02d" % d for d in range(1, 15)]
+    vals = list(range(-5, -33, -2))  # 14 strictly decreasing values
+    monkeypatch.setattr(mob, "get_mobility_series", lambda area: {
+        "dates": dates,
+        "values": {"workplaces": vals, "parks": [None] * 14},
+    })
+    out = execute(SCHEMA, """
+        { mobilityChangeMetrics { dates metrics { type intValues isSimulated } } }
+    """, context={"store": VariableStore()})
+    assert not out.get("errors"), out
+    d = out["data"]["mobilityChangeMetrics"]
+    by_id = {m["type"]: m for m in d["metrics"]}
+    wp = by_id["workplaces_mobility_change"]
+    assert wp["isSimulated"] is False
+    # first 6 days lack a full window -> trimmed to the first valid row
+    assert d["dates"][0] == "2020-03-07"
+    assert wp["intValues"][0] == round(sum(vals[:7]) / 7)
+    # parks is all-null -> all None
+    assert all(v is None for v in by_id["parks_mobility_change"]["intValues"])
+
+
+def test_mobility_change_metrics_absent(monkeypatch):
+    from reina_tpu.data import mobility as mob
+    monkeypatch.setattr(mob, "get_mobility_series", lambda area: None)
+    out = execute(SCHEMA, "{ mobilityChangeMetrics { dates metrics { type } } }",
+                  context={"store": VariableStore()})
+    assert out["data"]["mobilityChangeMetrics"] == {"dates": [], "metrics": []}

@@ -20,30 +20,38 @@ TRACE_DIR = "/tmp/reina_trace"
 
 
 def main():
+    import numpy as np
+    start_day = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    chunk = 8
     v = dict(VARIABLE_DEFAULTS)
-    v["simulation_days"] = 40
+    v["simulation_days"] = start_day + 2 * chunk
     run = build_run(v)
     key = jr.PRNGKey(0)
-    chunk = 8
 
     t0 = time.perf_counter()
-    state, carry, outs = run_chunk(run.cfg, run.arrays, run.schedules,
-                                   run.init_state, run.init_carry, key,
-                                   chunk, 0)
-    jax.block_until_ready(outs)
-    print(f"compile+run: {time.perf_counter() - t0:.1f}s", flush=True)
+    state, carry = run.init_state, run.init_carry
+    day = 0
+    while day < start_day:
+        step = min(chunk, start_day - day)
+        state, carry, outs = run_chunk(run.cfg, run.arrays, run.schedules,
+                                       state, carry, key, step, day)
+        day += step
+    inf = int(np.asarray(outs.by_group)[-1, 3].sum())  # hard sync
+    print(f"compile+advance to day {day}: {time.perf_counter() - t0:.1f}s "
+          f"(all_infected={inf})", flush=True)
 
     t0 = time.perf_counter()
-    state, carry, outs = run_chunk(run.cfg, run.arrays, run.schedules,
-                                   state, carry, key, chunk, 8)
-    jax.block_until_ready(outs)
+    state2, carry2, outs = run_chunk(run.cfg, run.arrays, run.schedules,
+                                     state, carry, key, chunk, day)
+    float(np.asarray(outs.by_group)[-1, 3].sum())
     wall = time.perf_counter() - t0
-    print(f"steady: {wall / chunk * 1000:.1f} ms/day", flush=True)
+    print(f"steady (days {day}..{day+chunk}): {wall / chunk * 1000:.1f} ms/day",
+          flush=True)
 
     with jax.profiler.trace(TRACE_DIR):
-        state, carry, outs = run_chunk(run.cfg, run.arrays, run.schedules,
-                                       state, carry, key, chunk, 16)
-        jax.block_until_ready(outs)
+        state2, carry2, outs = run_chunk(run.cfg, run.arrays, run.schedules,
+                                         state, carry, key, chunk, day)
+        float(np.asarray(outs.by_group)[-1, 3].sum())
 
     # aggregate device trace events by op name
     paths = glob.glob(TRACE_DIR + "/**/*.trace.json.gz", recursive=True)

@@ -174,6 +174,13 @@ def build_run(variables: Dict[str, Any],
     group_of_age = np.array([pop.group_labels.index(x) for x in labels],
                             dtype=np.int32)
 
+    max_cohort = max(int(np.asarray(age_counts).max()), 2)
+    cfg = EngineConfig(
+        vacc_slots=max(slots.count, 1),
+        nr_variants=V,
+        max_age_cohort=1 << (max_cohort - 1).bit_length(),
+        **(cfg_overrides or {}))
+
     init_carry = DayCarry(
         day=jnp.int32(0),
         beds_avail=jnp.int32(avail_beds),
@@ -184,14 +191,10 @@ def build_run(variables: Dict[str, Any],
         all_detected=jnp.asarray(initial_all_detected(
             ipc.confirmed_cases, group_of_age, G, nr_ages)),
         problem=jnp.int32(0),
+        edge_src=jnp.full(cfg.edge_buffer, n_padded, jnp.int32),
+        edge_dst=jnp.full(cfg.edge_buffer, n_padded, jnp.int32),
+        edge_n=jnp.int32(0),
     )
-
-    max_cohort = max(int(np.asarray(age_counts).max()), 2)
-    cfg = EngineConfig(
-        vacc_slots=max(slots.count, 1),
-        nr_variants=V,
-        max_age_cohort=1 << (max_cohort - 1).bit_length(),
-        **(cfg_overrides or {}))
 
     return CompiledRun(
         cfg=cfg,
@@ -233,8 +236,11 @@ def run_chunk(cfg: EngineConfig, arrays: ModelArrays, schedules: Schedules,
     return state, carry, outs
 
 
-def check_problems(carry: DayCarry) -> None:
-    problem = int(carry.problem)
+def check_problems(carry) -> None:
+    """Raise SimulationFailed for any set problem bit; accepts a
+    DayCarry or a bare problem bitmask."""
+    problem = int(carry if isinstance(carry, (int, np.integer))
+                  else carry.problem)
     if problem:
         msgs = [s for bit, s in C.PROBLEM_TO_STR.items() if problem & bit]
         raise C.SimulationFailed(", ".join(msgs))

@@ -42,7 +42,10 @@ class AgentState(NamedTuple):
 
 
 class DayCarry(NamedTuple):
-    """Scalar ledgers carried across days."""
+    """Ledgers carried across days: scalars plus the infectee edge
+    table — the vectorized analog of the reference's per-source
+    ``infectees`` lists (main.pyx:219-223), appended on infection under
+    contact tracing and scanned by the tracing BFS."""
     day: np.ndarray              # int32
     beds_avail: np.ndarray       # int32
     icu_avail: np.ndarray        # int32
@@ -51,6 +54,9 @@ class DayCarry(NamedTuple):
     weekly_leftover: np.ndarray  # (V,) float32 — fractional import carry
     all_detected: np.ndarray     # (G,) int32 — cumulative detections by group
     problem: np.ndarray          # int32 bitmask of problem codes
+    edge_src: np.ndarray         # (E,) int32 — infector of edge e
+    edge_dst: np.ndarray         # (E,) int32 — infectee of edge e
+    edge_n: np.ndarray           # int32 — live prefix length of the table
 
 
 def blank_state(pop: PopulationArrays) -> AgentState:

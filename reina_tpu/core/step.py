@@ -50,6 +50,10 @@ class EngineConfig:
     #                                  under lax.cond on high-incidence days
     import_buffer: int = 512          # max imported infections per day
     import_attempts: int = 10         # susceptible-search retries (main.pyx:1657)
+    edge_buffer: int = 1 << 19        # infectee-edge table capacity (the
+    #                                   vectorized analog of the reference's
+    #                                   per-source infectee lists, main.pyx:219)
+    edge_head: int = 1 << 14          # always-on edge tier per tracing round
     max_age_cohort: int = 1 << 16     # ≥ largest single-age population
     vacc_slots: int = 1               # vaccination campaign slots (≥ 1)
     nr_variants: int = 2
@@ -310,19 +314,50 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     has_infector = state.infector >= 0
 
     Tcap = cfg.infection_buffer  # compact traced-source buffer size
-    infector_safe = jnp.clip(state.infector, 0, N - 1)
+    E = cfg.edge_buffer
+    Eh = min(cfg.edge_head, E)
+    edge_src, edge_dst, edge_n = carry.edge_src, carry.edge_dst, carry.edge_n
 
     def do_tracing(queued):
+        def edge_hits(src_ok, key):
+            """Per-edge Bernoulli(trace_p) over the infectee edge table
+            for edges whose source is an eligible traced source; returns
+            the hit mask over infectees. The table is scanned in
+            geometric tiers under lax.cond so the cost tracks the live
+            edge count, not the table capacity."""
+            hit = jnp.zeros(N + 1, bool)
+            lo, part = 0, 0
+            while lo < E:
+                seg = Eh if lo == 0 else min(lo * 3, E) - lo
+
+                def tier(hit, lo=lo, seg=seg, part=part):
+                    src_seg = jax.lax.slice_in_dim(edge_src, lo, lo + seg)
+                    dst_seg = jax.lax.slice_in_dim(edge_dst, lo, lo + seg)
+                    valid = (lo + jnp.arange(seg, dtype=I32)) < edge_n
+                    u = jr.uniform(jr.fold_in(key, part), (seg,), F32)
+                    fire = (valid & (src_seg < N) & (u < sched.trace_p)
+                            & src_ok[jnp.clip(src_seg, 0, N - 1)])
+                    return hit.at[jnp.where(fire, dst_seg, N)].set(True)
+
+                if lo == 0:
+                    hit = tier(hit)
+                else:
+                    hit = jax.lax.cond(edge_n > lo, tier, lambda h: h, hit)
+                lo += seg
+                part += 1
+            return hit[:N]
+
         def trace_round(sources, queued, k):
             """One BFS level. A candidate is queued iff ANY of its edges
             succeeds a Bernoulli(trace_p) draw — per-edge draws are
             exactly the reference's first-edge-wins queueing
             (P = 1 − (1−p)^n). Edges from sources to their infector go
-            through a compact source buffer; infectee edges are the
-            per-agent infector back-pointer check (an N-query gather —
-            ~12 ms, but the exact alternative scales with the
-            cumulative undetected-infected count, which is worse over
-            a full epidemic)."""
+            through a compact source buffer; infectee edges come from
+            the edge table (appended at infection when contact tracing
+            was active, exactly the reference's per-source lists,
+            main.pyx:219-223; removed sources never fire because
+            ``src_ok`` requires the source to still be infected —
+            the reference frees lists on removal, main.pyx:301-307)."""
             k1, k2 = jr.split(k)
             # (i) source → infector edges, per-edge success on the source side
             u1 = jr.uniform(k1, (N,), F32)
@@ -331,12 +366,9 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
             tgt = state.infector[jnp.clip(srcbuf, 0, N - 1)]
             tgt = jnp.where(srcbuf < N, tgt, N)
             hit1 = jnp.zeros(N + 1, bool).at[tgt].set(True)[:N]
-            # (ii) infectee edges (valid while the source is still
-            # infected and was infected under contact tracing — the
-            # reference frees infectee lists on removal, main.pyx:301-307)
-            src_ok = sources & state.ct_tracked & state.is_infected
-            u2 = jr.uniform(k2, (N,), F32)
-            hit2 = has_infector & src_ok[infector_safe] & (u2 < sched.trace_p)
+            # (ii) infectee edges from the edge table
+            src_ok = sources & state.is_infected
+            hit2 = edge_hits(src_ok, k2)
             eligible = active & ~is_dead & ~was_detected & ~queued
             newq = eligible & (hit1 | hit2)
             return queued | newq, newq, n_succ > Tcap
@@ -734,6 +766,36 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
                        _vsel(arrays.mu_recov, variant_new, V))
     g_o2r = g_std_o2r * (C.ONSET_TO_REMOVED_CV ** 2) * mu_o2r
 
+    # append infectee edges (reference main.pyx:219-223: the source's
+    # list gains the infectee when contact tracing is active at
+    # infection time). Before appending, prune dead edges (removed
+    # sources) if the table would otherwise overflow.
+    e_valid = slot_used & (infector_new >= 0) & ct_active
+    e_rank = jnp.cumsum(e_valid.astype(I32))
+    n_app = e_rank[-1]
+
+    def prune_edges(args):
+        es, ed, en = args
+        alive = ((jnp.arange(E, dtype=I32) < en) & (es < N)
+                 & is_infected[jnp.clip(es, 0, N - 1)])
+        buf, cnt = compact_indices(alive, E)
+        buf_c = jnp.clip(buf, 0, E - 1)
+        keep = buf < E
+        es2 = jnp.where(keep, es[buf_c], N)
+        ed2 = jnp.where(keep, ed[buf_c], N)
+        return es2, ed2, jnp.minimum(cnt, E)
+
+    edge_src, edge_dst, edge_n = jax.lax.cond(
+        edge_n + n_app > E, prune_edges, lambda a: a,
+        (edge_src, edge_dst, edge_n))
+    problem = jnp.where(edge_n + n_app > E,
+                        problem | C.PROBLEM_TRACING_BUFFER_OVERFLOW, problem)
+    e_pos = jnp.where(e_valid, edge_n + e_rank - 1, E)
+    edge_src = edge_src.at[e_pos].set(
+        jnp.where(e_valid, infector_new, N), mode="drop")
+    edge_dst = edge_dst.at[e_pos].set(buf_agent, mode="drop")
+    edge_n = jnp.minimum(edge_n + n_app, E)
+
     new_st = jnp.where(newly, C.INCUBATION, new_st)
     sev_out = jnp.where(newly, sev_new.astype(I32), sev)
     death_outside = jnp.where(newly, outside_new, state.death_outside)
@@ -814,6 +876,7 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         weekly_leftover=leftover,
         all_detected=all_detected,
         problem=problem,
+        edge_src=edge_src, edge_dst=edge_dst, edge_n=edge_n,
     )
     return new_state, new_carry, out
 

@@ -164,7 +164,10 @@ def get_initial_population_condition(
     try:
         rows = get_detected_cases(area_name)
     except (DatasetMissing, KeyError):
-        return InitialPopulationCondition()
+        # no casefile (e.g. synthetic areas): the variable-driven seed
+        # counts still apply (reference calc/simulation.py:163-167)
+        return InitialPopulationCondition(
+            incubating=incubating, ill=ill, recovered=recovered)
     for r in rows:
         if r["date"] == start_date:
             return InitialPopulationCondition(

@@ -68,7 +68,7 @@ def run_ensemble(run: CompiledRun, seeds: List[int],
             run.cfg, run.arrays, schedules, run.init_state,
             run.init_carry, keys)
         for problem in np.asarray(cr_b.problem):
-            check_problems(DayCarry(*([None] * 7), problem=int(problem)))
+            check_problems(int(problem))
         results.append(jax.tree.map(np.asarray, outs))
     return jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *results)
 

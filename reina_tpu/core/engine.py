@@ -194,6 +194,7 @@ def build_run(variables: Dict[str, Any],
         edge_src=jnp.full(cfg.edge_buffer, n_padded, jnp.int32),
         edge_dst=jnp.full(cfg.edge_buffer, n_padded, jnp.int32),
         edge_n=jnp.int32(0),
+        edge_floor=jnp.int32(0),
     )
 
     return CompiledRun(

@@ -57,6 +57,8 @@ class DayCarry(NamedTuple):
     edge_src: np.ndarray         # (E,) int32 — infector of edge e
     edge_dst: np.ndarray         # (E,) int32 — infectee of edge e
     edge_n: np.ndarray           # int32 — live prefix length of the table
+    edge_floor: np.ndarray       # int32 — table size right after the last
+    #                              prune; pruning re-fires at 2× this
 
 
 def blank_state(pop: PopulationArrays) -> AgentState:

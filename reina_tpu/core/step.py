@@ -775,7 +775,7 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     n_app = e_rank[-1]
 
     def prune_edges(args):
-        es, ed, en = args
+        es, ed, en, _floor = args
         alive = ((jnp.arange(E, dtype=I32) < en) & (es < N)
                  & is_infected[jnp.clip(es, 0, N - 1)])
         buf, cnt = compact_indices(alive, E)
@@ -783,11 +783,19 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         keep = buf < E
         es2 = jnp.where(keep, es[buf_c], N)
         ed2 = jnp.where(keep, ed[buf_c], N)
-        return es2, ed2, jnp.minimum(cnt, E)
+        cnt = jnp.minimum(cnt, E)
+        return es2, ed2, cnt, cnt
 
-    edge_src, edge_dst, edge_n = jax.lax.cond(
-        edge_n + n_app > E, prune_edges, lambda a: a,
-        (edge_src, edge_dst, edge_n))
+    # amortized pruning: re-compact once the table doubles past the
+    # last pruned size (dead fraction stays < ~50%, scans stay sized to
+    # the live edge count), or when an append would overflow
+    edge_floor = carry.edge_floor
+    need_prune = ((edge_n + n_app > E)
+                  | (edge_n > jnp.maximum(2 * edge_floor,
+                                          jnp.int32(1 << 15))))
+    edge_src, edge_dst, edge_n, edge_floor = jax.lax.cond(
+        need_prune, prune_edges, lambda a: a,
+        (edge_src, edge_dst, edge_n, edge_floor))
     problem = jnp.where(edge_n + n_app > E,
                         problem | C.PROBLEM_TRACING_BUFFER_OVERFLOW, problem)
     e_pos = jnp.where(e_valid, edge_n + e_rank - 1, E)
@@ -877,6 +885,7 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         all_detected=all_detected,
         problem=problem,
         edge_src=edge_src, edge_dst=edge_dst, edge_n=edge_n,
+        edge_floor=edge_floor,
     )
     return new_state, new_carry, out
 

@@ -196,16 +196,19 @@ def searchsorted_fixed(sorted_arr, queries, side: str = "left",
 
 def searchsorted_blocked(sorted_arr, queries, side: str = "left",
                          block: int = 128, lo_init=None, hi_init=None):
-    """Two-level bisect over a large sorted array.
+    """Two-level bisect over a large sorted array: level 1 bisects the
+    strided subsample ``sorted_arr[block-1::block]`` to locate a block,
+    level 2 runs log2(block) rounds against the big array. The
+    subsample shares storage values with the big array (a strided
+    slice, not a recomputation), so the bracket is exact even for
+    float data.
 
-    Random gathers from HBM-sized arrays run at ~140M elem/s on this
-    TPU while small-table gathers are ~free (VMEM-resident), so a
-    bisect over an N-sized array costs ~log2(N) expensive rounds.
-    Level 1 bisects a strided subsample ``sorted_arr[block-1::block]``
-    (small → cheap) to locate the block; level 2 runs only
-    log2(block) rounds against the big array. The subsample shares
-    storage values with the big array (a strided slice, not a
-    recomputation), so the bracket is exact even for float data.
+    Note: on the current toolchain this does NOT beat a plain
+    bracketed ``searchsorted_fixed`` — measured bisection cost is per
+    (round × query) at ~7 ns regardless of table size once the table
+    leaves the tiny-constant regime, so the level-1 rounds cost the
+    same as level-2 rounds (docs/performance.md). Kept as a library op
+    for backends where small-table gathers are genuinely cheaper.
 
     Requires ``sorted_arr.shape[0] % block == 0``.
     """

@@ -1,0 +1,135 @@
+"""Parameter-grid calibration sweeps on a device mesh.
+
+The reference has no built-in calibration — its only sweep axis is the
+Monte-Carlo seed pool (calc/simulation.py:349-385); fitting model
+parameters (e.g. ``infectiousness_multiplier``) against observed case
+data (data/hosp_cases_hus.csv) was a manual exercise. Here a grid of
+parameter points runs as ONE vmapped XLA program — the model arrays
+gain a leading grid axis — and shards over the mesh's 'seed' dimension,
+so an N-chip pod evaluates N× the grid points of one chip at the same
+wall-clock.
+
+Scoring follows the reference's empirical-validation framing
+(components/results.py:56-94): compare the simulated cumulative
+detected-case curve against the observed series for the area.
+"""
+from __future__ import annotations
+
+import itertools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+
+from .core.engine import CompiledRun, build_run
+from .core.step import SchedRow, day_step
+from .data import loaders
+from .utils.compile import engine_jit
+
+
+def grid_points(grid: Dict[str, Sequence[Any]]) -> List[Dict[str, Any]]:
+    """Cartesian product of a {variable: [values]} grid."""
+    names = list(grid)
+    return [dict(zip(names, combo))
+            for combo in itertools.product(*(grid[n] for n in names))]
+
+
+@engine_jit(static_argnums=(0,))
+def _grid_scan(cfg, arrays_b, schedules, state, carry, key):
+    """Scan all days for a batch of model-array grid points."""
+    def body(sc, row):
+        st_b, cr_b = sc
+        st_b, cr_b, out = jax.vmap(
+            lambda ar, st, cr: day_step(cfg, ar, SchedRow(*row), st, cr, key)
+        )(arrays_b, st_b, cr_b)
+        return (st_b, cr_b), out
+
+    G = jax.tree.leaves(arrays_b)[0].shape[0]
+    st_b = jax.tree.map(lambda x: jnp.broadcast_to(x, (G,) + x.shape), state)
+    cr_b = jax.tree.map(lambda x: jnp.broadcast_to(x, (G,) + x.shape), carry)
+    (st_b, cr_b), outs = jax.lax.scan(body, (st_b, cr_b), schedules)
+    return jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), outs)
+
+
+def sweep_grid(variables: Dict[str, Any], grid: Dict[str, Sequence[Any]],
+               n_days: Optional[int] = None, batch_size: int = 8,
+               mesh=None, pad_multiple: int = 1024,
+               age_counts_override=None):
+    """Run every grid point; returns (points, DayOutputs) with leading
+    (n_points, days-1) axes. All points share the intervention calendar,
+    population and seed — only the compiled model arrays differ."""
+    points = grid_points(grid)
+    runs: List[CompiledRun] = []
+    for pt in points:
+        v = dict(variables)
+        v.update(pt)
+        runs.append(build_run(v, pad_multiple=pad_multiple,
+                              age_counts_override=age_counts_override))
+    base = runs[0]
+    steps = (n_days if n_days is not None else base.days) - 1
+    schedules = jax.tree.map(lambda x: x[:steps], base.schedules)
+    key = jr.PRNGKey(base.random_seed)
+
+    placement = None
+    if mesh is not None:
+        from .parallel.mesh import batch_placement
+        placement = batch_placement(mesh, base.init_state.age.shape[0])
+
+    results = []
+    for i in range(0, len(runs), batch_size):
+        chunk = runs[i:i + batch_size]
+        arrays_b = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                *(r.arrays for r in chunk))
+        if placement is not None:
+            arrays_b = jax.tree.map(
+                lambda x: jax.device_put(x, placement(x)), arrays_b)
+        outs = _grid_scan(base.cfg, arrays_b, schedules,
+                          base.init_state, base.init_carry, key)
+        results.append(jax.tree.map(np.asarray, outs))
+    outs = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *results)
+    return points, outs, base
+
+
+def score_against_observed(outs, run: CompiledRun,
+                           observed_rows: Optional[List[dict]] = None,
+                           metric: str = "all_detected") -> np.ndarray:
+    """Least-squares distance in log1p space between each point's
+    simulated cumulative series and the observed series, aligned by
+    date. Lower is better."""
+    from datetime import date, timedelta
+
+    if observed_rows is None:
+        observed_rows = loaders.get_detected_cases(run.meta["area_name"])
+    attr_idx = {"all_detected": 5, "dead": 9}[metric]
+    start = date.fromisoformat(run.start_date)
+    sim = outs.by_group[..., attr_idx, :].sum(axis=-1)   # (G, days)
+    n_days = sim.shape[1]
+    obs_by_day = {}
+    for r in observed_rows:
+        d = (date.fromisoformat(r["date"]) - start).days
+        if 0 <= d - 1 < n_days:
+            obs_by_day[d - 1] = float(r["confirmed" if metric ==
+                                        "all_detected" else metric])
+    if not obs_by_day:
+        raise ValueError("no observed days overlap the simulation window")
+    idx = np.array(sorted(obs_by_day))
+    obs = np.array([obs_by_day[i] for i in idx])
+    diff = np.log1p(sim[:, idx]) - np.log1p(obs)[None, :]
+    return (diff ** 2).mean(axis=1)
+
+
+def calibrate(variables: Dict[str, Any], grid: Dict[str, Sequence[Any]],
+              n_days: Optional[int] = None, metric: str = "all_detected",
+              observed_rows: Optional[List[dict]] = None,
+              batch_size: int = 8, mesh=None, pad_multiple: int = 1024,
+              age_counts_override=None) -> Tuple[Dict[str, Any], list]:
+    """Evaluate the grid and rank points by fit against observed data.
+    Returns (best_point, [(point, score), ...] sorted best-first)."""
+    points, outs, base = sweep_grid(
+        variables, grid, n_days=n_days, batch_size=batch_size, mesh=mesh,
+        pad_multiple=pad_multiple, age_counts_override=age_counts_override)
+    scores = score_against_observed(outs, base, observed_rows, metric)
+    ranked = sorted(zip(points, scores.tolist()), key=lambda x: x[1])
+    return ranked[0][0], ranked

@@ -4,6 +4,7 @@ calc/simulation.py:388-469).
   python -m reina_tpu.cli simulate [--area HUS] [--days N] [--seed S]
   python -m reina_tpu.cli monte-carlo --scenario default --runs 1000
   python -m reina_tpu.cli sample --what symptom_severity --age 90
+  python -m reina_tpu.cli calibrate --grid '{"infectiousness_multiplier": [0.4, 0.55, 0.7]}'
 """
 from __future__ import annotations
 
@@ -67,6 +68,28 @@ def cmd_monte_carlo(args):
     return 0
 
 
+def cmd_calibrate(args):
+    import json
+
+    from .calibration import calibrate
+    from .config.variables import VariableStore
+
+    store = VariableStore()
+    variables = store.copy_all()
+    if args.area:
+        variables["area_name"] = args.area
+    if args.days:
+        variables["simulation_days"] = args.days
+    grid = json.loads(args.grid)
+    best, ranked = calibrate(variables, grid, batch_size=args.batch_size,
+                             metric=args.metric)
+    print("rank  score        point")
+    for i, (pt, score) in enumerate(ranked):
+        print("%-5d %-12.5f %s" % (i + 1, score, json.dumps(pt)))
+    print("best:", json.dumps(best))
+    return 0
+
+
 def cmd_sample(args):
     from .simulation import sample_model_parameters
     c = sample_model_parameters(args.what, args.age, args.severity)
@@ -94,6 +117,18 @@ def main(argv=None):
     p.add_argument("--runs", type=int, default=1000)
     p.add_argument("--batch-size", type=int, default=16)
     p.set_defaults(func=cmd_monte_carlo)
+
+    p = sub.add_parser(
+        "calibrate",
+        help="vmapped parameter-grid sweep scored against observed data")
+    p.add_argument("--grid", required=True,
+                   help='JSON, e.g. {"infectiousness_multiplier": [0.4, 0.55, 0.7]}')
+    p.add_argument("--area", default=None)
+    p.add_argument("--days", type=int, default=None)
+    p.add_argument("--metric", default="all_detected",
+                   choices=["all_detected", "dead"])
+    p.add_argument("--batch-size", type=int, default=8)
+    p.set_defaults(func=cmd_calibrate)
 
     p = sub.add_parser("sample", help="sample model parameter distributions")
     p.add_argument("--what", required=True)

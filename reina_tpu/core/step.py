@@ -558,10 +558,13 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     icu_recover = icu_end & ~icu_die
 
     offset = jr.randint(k_offset, (), 0, N)
-    granted_bed, beds_after = clamped_counter_grants(
-        hosp_end.astype(I32), bed_request, beds_avail, offset)
-    granted_icu, icu_after = clamped_counter_grants(
-        icu_end.astype(I32), icu_request, icu_avail, offset)
+    # both ledgers (beds, ICU) ride one pair of cumulative passes
+    granted2, after2 = clamped_counter_grants(
+        jnp.stack([hosp_end.astype(I32), icu_end.astype(I32)], axis=1),
+        jnp.stack([bed_request, icu_request], axis=1),
+        jnp.stack([beds_avail, icu_avail]), offset)
+    granted_bed, granted_icu = granted2[:, 0], granted2[:, 1]
+    beds_after, icu_after = after2[0], after2[1]
 
     u1 = jr.uniform(k_nocare1, (N,), F32)
     bed_denied = bed_request & ~granted_bed

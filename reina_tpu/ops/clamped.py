@@ -37,14 +37,15 @@ _NEG = jnp.int32(-(1 << 30))
 def _masked_prefix(a, m, init):
     """arriving_i (before position i's own event) and the final balance
     for one masked segment, given per-position (a, m) with identities
-    (0, −∞) outside the segment."""
-    s_incl = jnp.cumsum(a)
+    (0, −∞) outside the segment. Arrays are (N,) or (N, L) — the
+    trailing axis batches independent ledgers into one scan pass."""
+    s_incl = jnp.cumsum(a, axis=0)
     s_excl = s_incl - a
     key = m - s_incl
-    run_max = lax.cummax(key)
+    run_max = lax.cummax(key, axis=0)
     # exclusive shift: positions see the max of keys strictly before them
-    run_max_excl = jnp.concatenate([jnp.full((1,), _NEG, jnp.int32),
-                                    run_max[:-1]])
+    pad = jnp.full((1,) + a.shape[1:], _NEG, jnp.int32)
+    run_max_excl = jnp.concatenate([pad, run_max[:-1]], axis=0)
     arriving = s_excl + jnp.maximum(init, run_max_excl)
     final = s_incl[-1] + jnp.maximum(init, run_max[-1]) \
         if a.shape[0] else init
@@ -61,10 +62,15 @@ def clamped_counter_grants(releases, requests, init, offset):
       offset: scalar int32 — sweep starts at position ``offset`` and
         wraps (the reference's random start index, main.pyx:1988).
 
+    Arrays may carry a trailing ledger axis L — (N, L) releases/requests
+    with (L,) init — to run several independent counters (hospital beds,
+    ICU units) in ONE pair of cumulative passes; the sweep offset is
+    shared.
+
     Returns:
-      granted: (N,) bool — request approved (counter was > 0 on arrival,
-        counting the position's own release first).
-      final: scalar int32 — counter value after the full sweep.
+      granted: (N,) or (N, L) bool — request approved (counter was > 0
+        on arrival, counting the position's own release first).
+      final: scalar or (L,) int32 — counter value after the full sweep.
     """
     n = releases.shape[0]
     releases = releases.astype(jnp.int32)
@@ -74,6 +80,8 @@ def clamped_counter_grants(releases, requests, init, offset):
     m = jnp.where(requests, 0, _NEG)
 
     idx = jnp.arange(n, dtype=jnp.int32)
+    if a.ndim == 2:
+        idx = idx[:, None]
     in_a = idx >= offset
 
     a_seg_a = jnp.where(in_a, a, 0)

@@ -26,9 +26,11 @@ from jax import lax
 F32 = jnp.float32
 
 
-def gamma_fixed(key, kappa: float, shape, rounds: int = 6):
+def gamma_fixed(key, kappa: float, shape, rounds: int = 4):
     """Standard Gamma(kappa) for kappa > 1 via Marsaglia–Tsang squeeze
-    with ``rounds`` rejection rounds (acceptance ≈ 96-99%).
+    with ``rounds`` rejection rounds (acceptance ≈ 96-99% per round;
+    P(all 4 fail) ≤ 3e-6, falling back to the mean — bias far below
+    sampling noise; each scan round costs a fixed ~0.1 ms on this TPU).
 
     Returns float32 array of ``shape``.
     """
@@ -79,7 +81,7 @@ def _binomial_inversion(key, n, p, max_count: int = 64):
     return jnp.where(settled, count, jnp.minimum(n, max_count))
 
 
-def _binomial_btrs(key, n, p, rounds: int = 8):
+def _binomial_btrs(key, n, p, rounds: int = 6):
     """Binomial via the BTRS transformed-rejection sampler
     (Hörmann 1993) with fixed unrolled rounds; requires n·p ≥ 10 and
     p ≤ 0.5 (callers flip). Acceptance per round ≈ 86-99%."""
@@ -144,7 +146,7 @@ def _binomial_btrs(key, n, p, rounds: int = 8):
     return jnp.where(done, out, jnp.round(n * p))
 
 
-def binomial_fixed(key, n, p, rounds: int = 8):
+def binomial_fixed(key, n, p, rounds: int = 6):
     """Binomial(n, p) sampler, while-free. Exact inversion for
     n·p ≤ 10, BTRS rejection otherwise; handles p > 0.5 by flipping."""
     n = jnp.asarray(n, F32)

@@ -1,0 +1,47 @@
+"""Calibration sweep: a vmapped parameter grid recovers the
+transmission level that produced synthetic "observed" data."""
+import numpy as np
+import pytest
+
+from reina_tpu.calibration import calibrate, grid_points, sweep_grid
+from reina_tpu.testing import synthetic_age_counts, synthetic_variables
+
+
+def test_grid_points():
+    pts = grid_points({"a": [1, 2], "b": ["x", "y", "z"]})
+    assert len(pts) == 6
+    assert {"a": 2, "b": "z"} in pts
+
+
+@pytest.fixture(scope="module")
+def sweep():
+    v = synthetic_variables(days=18, seed=5, interventions=[
+        ["import-infections", "2020-02-19", 80]])
+    grid = {"infectiousness_multiplier": [0.2, 0.55, 1.2]}
+    points, outs, base = sweep_grid(
+        v, grid, batch_size=3, pad_multiple=256,
+        age_counts_override=synthetic_age_counts(12000))
+    return v, grid, points, outs, base
+
+
+def test_sweep_monotone_in_infectiousness(sweep):
+    _v, _grid, points, outs, _base = sweep
+    # cumulative infections at the end grow with infectiousness
+    final = outs.by_group[..., 3, :].sum(axis=-1)[:, -1]
+    assert final[0] < final[1] < final[2], final.tolist()
+
+
+def test_calibrate_recovers_generating_point(sweep):
+    v, grid, points, outs, base = sweep
+    # synthesize "observed" confirmed cases from the middle point's
+    # detected curve and check calibration ranks it first
+    from datetime import date, timedelta
+    truth = outs.by_group[1, :, 5, :].sum(axis=-1)   # all_detected cum
+    start = date.fromisoformat(v["start_date"])
+    rows = [{"date": (start + timedelta(days=d + 1)).isoformat(),
+             "confirmed": int(truth[d])} for d in range(len(truth))]
+    best, ranked = calibrate(
+        v, grid, observed_rows=rows, batch_size=3, pad_multiple=256,
+        age_counts_override=synthetic_age_counts(12000))
+    assert best == {"infectiousness_multiplier": 0.55}
+    assert ranked[0][1] <= ranked[-1][1]

@@ -45,7 +45,9 @@ def main() -> None:
     state, carry, outs = run_chunk(run.cfg, run.arrays, run.schedules,
                                    run.init_state, run.init_carry, key,
                                    chunk, 0)
-    jax.block_until_ready(outs)
+    # hard sync — block_until_ready does not synchronize through the
+    # axon tunnel, and warm-up work must not bleed into the timed region
+    np.asarray(outs.by_group)
     print(f"compile+first chunk: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 

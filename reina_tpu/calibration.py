@@ -23,43 +23,82 @@ import jax.numpy as jnp
 import jax.random as jr
 import numpy as np
 
-from .core.engine import CompiledRun, build_run
-from .core.step import SchedRow, day_step
+from .core.engine import CompiledRun, build_run, check_problems
+from .core.params import DISEASE_PARAMS
+from .core.step import ModelArrays, SchedRow, day_step
 from .data import loaders
 from .utils.compile import engine_jit
+
+# Grid variables must only affect the compiled disease/model arrays:
+# the sweep shares one initial state, schedule set and engine config
+# across points, so anything else would be silently ignored.
+SWEEPABLE = set(DISEASE_PARAMS)
+
+
+@engine_jit(static_argnums=(0, 1))
+def _grid_scan(cfg, array_axes, arrays_b, schedules, state, carry, key):
+    """Scan all days for a batch of model-array grid points.
+    ``array_axes`` marks which ModelArrays fields carry a leading grid
+    axis (0) vs are shared across points (None) — shared N-sized
+    population arrays are not replicated in HBM."""
+    axes_tree = ModelArrays(*array_axes)
+
+    def body(sc, row):
+        st_b, cr_b = sc
+        st_b, cr_b, out = jax.vmap(
+            lambda ar, st, cr: day_step(cfg, ar, SchedRow(*row), st, cr, key),
+            in_axes=(axes_tree, 0, 0),
+        )(arrays_b, st_b, cr_b)
+        return (st_b, cr_b), out
+
+    G = max(x.shape[0] for x, ax in zip(arrays_b, array_axes) if ax == 0)
+    st_b = jax.tree.map(lambda x: jnp.broadcast_to(x, (G,) + x.shape), state)
+    cr_b = jax.tree.map(lambda x: jnp.broadcast_to(x, (G,) + x.shape), carry)
+    (st_b, cr_b), outs = jax.lax.scan(body, (st_b, cr_b), schedules)
+    return cr_b, jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), outs)
 
 
 def grid_points(grid: Dict[str, Sequence[Any]]) -> List[Dict[str, Any]]:
     """Cartesian product of a {variable: [values]} grid."""
+    unknown = set(grid) - SWEEPABLE
+    if unknown:
+        raise ValueError(
+            "grid variables must be disease parameters (they alone feed "
+            "the per-point model arrays); not sweepable: %s"
+            % ", ".join(sorted(unknown)))
     names = list(grid)
     return [dict(zip(names, combo))
             for combo in itertools.product(*(grid[n] for n in names))]
 
 
-@engine_jit(static_argnums=(0,))
-def _grid_scan(cfg, arrays_b, schedules, state, carry, key):
-    """Scan all days for a batch of model-array grid points."""
-    def body(sc, row):
-        st_b, cr_b = sc
-        st_b, cr_b, out = jax.vmap(
-            lambda ar, st, cr: day_step(cfg, ar, SchedRow(*row), st, cr, key)
-        )(arrays_b, st_b, cr_b)
-        return (st_b, cr_b), out
-
-    G = jax.tree.leaves(arrays_b)[0].shape[0]
-    st_b = jax.tree.map(lambda x: jnp.broadcast_to(x, (G,) + x.shape), state)
-    cr_b = jax.tree.map(lambda x: jnp.broadcast_to(x, (G,) + x.shape), carry)
-    (st_b, cr_b), outs = jax.lax.scan(body, (st_b, cr_b), schedules)
-    return jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), outs)
+def _batch_arrays(chunk: List[CompiledRun]):
+    """Stack only the ModelArrays fields that actually differ between
+    the points; identical (mostly N-sized population) fields stay
+    unbatched and are broadcast by vmap."""
+    stacked, axes = [], []
+    for vals in zip(*(r.arrays for r in chunk)):
+        first = np.asarray(vals[0])
+        same = all(np.array_equal(first, np.asarray(v)) for v in vals[1:])
+        if same:
+            stacked.append(vals[0])
+            axes.append(None)
+        else:
+            stacked.append(jnp.stack(vals))
+            axes.append(0)
+    if 0 not in axes:            # degenerate single-point grids
+        axes[-1] = 0
+        stacked[-1] = jnp.stack([stacked[-1]] * len(chunk))
+    return ModelArrays(*stacked), tuple(axes)
 
 
 def sweep_grid(variables: Dict[str, Any], grid: Dict[str, Sequence[Any]],
                n_days: Optional[int] = None, batch_size: int = 8,
                mesh=None, pad_multiple: int = 1024,
                age_counts_override=None):
-    """Run every grid point; returns (points, DayOutputs) with leading
-    (n_points, days-1) axes. All points share the intervention calendar,
-    population and seed — only the compiled model arrays differ."""
+    """Run every grid point; returns (points, DayOutputs, base_run) with
+    leading (n_points, days-1) output axes. All points share the
+    intervention calendar, population, initial state and seed — only
+    the compiled disease arrays differ (enforced by ``grid_points``)."""
     points = grid_points(grid)
     runs: List[CompiledRun] = []
     for pt in points:
@@ -80,13 +119,14 @@ def sweep_grid(variables: Dict[str, Any], grid: Dict[str, Sequence[Any]],
     results = []
     for i in range(0, len(runs), batch_size):
         chunk = runs[i:i + batch_size]
-        arrays_b = jax.tree.map(lambda *xs: jnp.stack(xs),
-                                *(r.arrays for r in chunk))
+        arrays_b, axes = _batch_arrays(chunk)
         if placement is not None:
             arrays_b = jax.tree.map(
                 lambda x: jax.device_put(x, placement(x)), arrays_b)
-        outs = _grid_scan(base.cfg, arrays_b, schedules,
-                          base.init_state, base.init_carry, key)
+        carry_b, outs = _grid_scan(base.cfg, axes, arrays_b, schedules,
+                                   base.init_state, base.init_carry, key)
+        for problem in np.asarray(carry_b.problem):
+            check_problems(int(problem))
         results.append(jax.tree.map(np.asarray, outs))
     outs = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *results)
     return points, outs, base

@@ -20,7 +20,7 @@ import numpy as np
 
 from .state import AgentState, DayCarry
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2   # v2: DayCarry gained the infectee edge table
 
 
 def save_checkpoint(path: str, state: AgentState, carry: DayCarry,

@@ -72,7 +72,7 @@ def build_run(variables: Dict[str, Any],
     V = len(variant_names)
 
     pop = compile_population(np.asarray(age_counts), band_of_age,
-                             pad_multiple=pad_multiple, layout_seed=seed)
+                             pad_multiple=pad_multiple)
     n_padded = len(pop.ages)
 
     ivs = get_active_interventions(variables)

@@ -145,8 +145,9 @@ class PopulationArrays(NamedTuple):
     age_counts: np.ndarray     # (A,) int32 — active agents per age
     ages: np.ndarray           # (N,) uint8 — per-agent age (0 for padding)
     active: np.ndarray         # (N,) bool
-    age_perm: np.ndarray       # (N,) int32 — agent ids sorted by (age, id); padding last
-    age_start: np.ndarray      # (A + 1,) int32 — offsets into age_perm
+    age_start: np.ndarray      # (A + 1,) int32 — layout is age-sorted, so
+    #                            positions [age_start[a], age_start[a+1])
+    #                            are the agents of age a (padding at tail)
     band_of_age: np.ndarray    # (A,) int32
     band_counts: np.ndarray    # (B,) int32 — agents per contact-age band
     group_of_agent: np.ndarray  # (N,) int32 — output age-group id (padding → G)
@@ -164,8 +165,7 @@ def make_age_groups(max_age: int) -> List[str]:
 
 
 def compile_population(age_counts: np.ndarray, band_of_age: np.ndarray,
-                       pad_multiple: int = 1024,
-                       layout_seed: int = 0) -> PopulationArrays:
+                       pad_multiple: int = 1024) -> PopulationArrays:
     age_counts = np.asarray(age_counts, dtype=np.int64)
     nr_ages = len(age_counts)
     n = int(age_counts.sum())
@@ -186,7 +186,6 @@ def compile_population(age_counts: np.ndarray, band_of_age: np.ndarray,
     active = np.zeros(n_padded, dtype=bool)
     active[:n] = True
 
-    age_perm = np.arange(n_padded, dtype=np.int32)
     age_start = np.zeros(nr_ages + 1, dtype=np.int32)
     age_start[1:] = np.cumsum(age_counts)
 
@@ -202,7 +201,7 @@ def compile_population(age_counts: np.ndarray, band_of_age: np.ndarray,
 
     return PopulationArrays(
         age_counts=age_counts.astype(np.int32),
-        ages=ages, active=active, age_perm=age_perm, age_start=age_start,
+        ages=ages, active=active, age_start=age_start,
         band_of_age=band_of_age.astype(np.int32),
         band_counts=band_counts,
         group_of_agent=group_of_agent,

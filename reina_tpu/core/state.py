@@ -35,7 +35,6 @@ class AgentState(NamedTuple):
     has_immunity: np.ndarray     # bool
     was_detected: np.ndarray     # bool
     queued: np.ndarray           # bool — queued_for_testing
-    ct_tracked: np.ndarray       # bool — infected while contact tracing active
     ever_icu: np.ndarray         # bool — cumulative-ICU stat flag
     included_in_totals: np.ndarray  # bool — counted into R_t totals
     active: np.ndarray           # bool — False for padding
@@ -77,7 +76,7 @@ def blank_state(pop: PopulationArrays) -> AgentState:
         infector=np.full(n, -1, dtype=np.int32),
         n_infected=np.zeros(n, dtype=np.int32),
         is_infected=zb.copy(), has_immunity=zb.copy(),
-        was_detected=zb.copy(), queued=zb.copy(), ct_tracked=zb.copy(),
+        was_detected=zb.copy(), queued=zb.copy(),
         ever_icu=zb.copy(), included_in_totals=zb.copy(),
         active=pop.active.copy(),
     )

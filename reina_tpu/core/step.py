@@ -816,7 +816,6 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     day_of_infection = jnp.where(newly, day.astype(jnp.int16),
                                  state.day_of_infection)
     variant_out = jnp.where(newly, variant_new, variant)
-    ct_tracked = jnp.where(newly, ct_active, state.ct_tracked)
     day_of_illness = jnp.where(newly, 0, day_of_illness)
 
     # ---- phase 7: outputs ----------------------------------------------
@@ -875,7 +874,6 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         has_immunity=has_immunity,
         was_detected=was_detected,
         queued=queued,
-        ct_tracked=ct_tracked,
         ever_icu=ever_icu,
         included_in_totals=included,
         active=active,

@@ -55,10 +55,10 @@ def gamma_fixed(key, kappa: float, shape, rounds: int = 4):
     return jnp.where(done, out, kappa).astype(F32)
 
 
-def _binomial_inversion(key, n, p, max_count: int = 64):
+def _binomial_inversion(key, n, p, max_count: int = 48):
     """Binomial via CDF inversion with a fixed scan horizon —
     exact for counts < max_count, clamped above (use when n·p ≲ 10:
-    P(X ≥ 64 | mean ≤ 10) < 1e-30)."""
+    P(X ≥ 48 | mean ≤ 10) < 1e-18)."""
     n = n.astype(F32)
     p = jnp.clip(p.astype(F32), 0.0, 1.0)
     u = jr.uniform(key, n.shape, F32)

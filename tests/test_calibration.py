@@ -8,9 +8,15 @@ from reina_tpu.testing import synthetic_age_counts, synthetic_variables
 
 
 def test_grid_points():
-    pts = grid_points({"a": [1, 2], "b": ["x", "y", "z"]})
+    pts = grid_points({"infectiousness_multiplier": [0.4, 0.6],
+                       "mean_incubation_duration": [4.0, 5.1, 6.0]})
     assert len(pts) == 6
-    assert {"a": 2, "b": "z"} in pts
+    assert {"infectiousness_multiplier": 0.6,
+            "mean_incubation_duration": 6.0} in pts
+    # non-disease variables cannot be swept (they would be silently
+    # ignored: all points share init state / schedules / config)
+    with pytest.raises(ValueError, match="not sweepable"):
+        grid_points({"random_seed": [1, 2]})
 
 
 @pytest.fixture(scope="module")

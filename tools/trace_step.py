@@ -31,12 +31,14 @@ def main():
     t0 = time.perf_counter()
     state, carry = run.init_state, run.init_carry
     day = 0
+    outs = None
     while day < start_day:
         step = min(chunk, start_day - day)
         state, carry, outs = run_chunk(run.cfg, run.arrays, run.schedules,
                                        state, carry, key, step, day)
         day += step
-    inf = int(np.asarray(outs.by_group)[-1, 3].sum())  # hard sync
+    inf = (int(np.asarray(outs.by_group)[-1, 3].sum())
+           if outs is not None else 0)  # hard sync
     print(f"compile+advance to day {day}: {time.perf_counter() - t0:.1f}s "
           f"(all_infected={inf})", flush=True)
 

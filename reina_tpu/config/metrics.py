@@ -50,6 +50,13 @@ METRICS = [
     Metric("r", _("Reproductive number (Rₜ)")),
     Metric("ifr", _("Infection fatality ratio (IFR)"), unit="%"),
     Metric("cfr", _("Case fatality ratio (CFR)"), unit="%"),
+    # additive vs the reference's metric list: inputs of the Dash
+    # indicator cards (components/results.py:334-358), exposed so API
+    # clients can derive the Restriction Day Index and ICU-capacity
+    # exhaustion without a second data path
+    Metric("mobility_limitation", _("Limit population mobility"), None, None),
+    Metric("total_icu_units", _("ICU units"), None, _("ICU units"),
+           is_integer=True),
 ]
 
 # Google-mobility overlay metrics (reference common/mobility.py)

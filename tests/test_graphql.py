@@ -151,6 +151,8 @@ def test_results_to_metrics_postprocessing():
         "recovered": np.zeros(days),
         "available_hospital_beds": np.full(days, 100),
         "available_icu_units": np.full(days, 10),
+        "total_icu_units": np.full(days, 300),
+        "mobility_limitation": np.full(days, 0.25),
     }, index=idx)
     dates, metrics = results_to_metrics({"total": df, "age_groups": None})
     assert len(dates) == days

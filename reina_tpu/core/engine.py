@@ -252,7 +252,7 @@ def run_days(run: CompiledRun, n_days: Optional[int] = None,
              seed: Optional[int] = None,
              checkpoint_dir: Optional[str] = None,
              checkpoint_every: int = 64,
-             resume: bool = True):
+             resume: bool = True, mesh=None):
     """Execute the run; returns stacked DayOutputs (numpy pytree) with a
     leading day axis of length ``n_days`` (row 0 = initial snapshot —
     mirroring the reference's emit-then-iterate loop,
@@ -263,12 +263,21 @@ def run_days(run: CompiledRun, n_days: Optional[int] = None,
     simulation state snapshots every ``checkpoint_every`` days and a
     fresh call resumes from the newest snapshot (bit-identical to an
     uninterrupted run — the RNG is counter-based over (seed, day)).
+
+    With ``mesh`` set (a Mesh with an 'agent' axis), the population is
+    sharded across the mesh's agent dimension and XLA inserts the
+    cross-shard collectives (dart reductions, capacity ledgers,
+    new-infection exchange) from the input shardings.
     """
     from . import checkpoint as ckpt
 
     n_days = n_days if n_days is not None else run.days
     base_key = jr.PRNGKey(run.random_seed if seed is None else seed)
+    arrays, schedules = run.arrays, run.schedules
     state, carry = run.init_state, run.init_carry
+    if mesh is not None:
+        from ..parallel.mesh import shard_run
+        arrays, schedules, state, carry = shard_run(run, mesh)
 
     snap = snapshot_outputs(run.cfg, run.arrays, state, carry,
                             run.schedules.mobility_scalar[0])
@@ -293,7 +302,7 @@ def run_days(run: CompiledRun, n_days: Optional[int] = None,
         this_chunk = min(chunk_days, steps_left)
         t0 = time.perf_counter()
         state, carry, outs = run_chunk(
-            run.cfg, run.arrays, run.schedules, state, carry, base_key,
+            run.cfg, arrays, schedules, state, carry, base_key,
             this_chunk, day)
         outs = jax.tree.map(np.asarray, outs)  # blocks
         chunk_times.append((this_chunk, time.perf_counter() - t0))

@@ -45,3 +45,21 @@ def test_sharded_ensemble(tiny_run):
                         n_days=8)
     assert outs.by_group.shape[:2] == (2, 7)
     assert outs.by_group[:, -1, 3].sum() > 0
+
+
+def test_run_days_agent_sharded(tiny_run):
+    """A full single-run simulation sharded over the mesh's agent axis
+    matches the unsharded run exactly (same counter-based RNG)."""
+    import jax
+    import numpy as np
+
+    from reina_tpu.core.engine import run_days
+    from reina_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_seed=1, n_agent=4, devices=jax.devices()[:4])
+    out_sharded, _, _, _ = run_days(tiny_run, n_days=12, chunk_days=6,
+                                    mesh=mesh)
+    out_plain, _, _, _ = run_days(tiny_run, n_days=12, chunk_days=6)
+    np.testing.assert_array_equal(out_sharded.by_group, out_plain.by_group)
+    np.testing.assert_array_equal(out_sharded.available_icu_units,
+                                  out_plain.available_icu_units)

@@ -13,8 +13,8 @@ agent axis:
      infectiousness-day, asymptomatic) groups, binomially split across
      contact-age bands, then per-target infection trials by receiver
      thinning                                     (main.pyx:908-955, 1290-1320, 1539-1573)
-  5. disease progression with exact sequential bed/ICU rationing via a
-     clamped-counter associative scan             (main.pyx:395-439, 617-648)
+  5. disease progression with exact sequential bed/ICU rationing via
+     clamped-counter prefix scans                 (main.pyx:395-439, 617-648)
   6. merge of new infections (imports + contacts) with infector
      attribution                                  (main.pyx:209-245, 1652-1699)
   7. per-age-group statistics via one MXU matmul  (main.pyx:1701-1744, 1813-1857)

@@ -61,6 +61,16 @@ def run_ensemble(run: CompiledRun, seeds: List[int],
 
     for i in range(0, len(seeds), batch_size):
         chunk = seeds[i:i + batch_size]
+        if len(chunk) == 1:
+            # vmapped gathers/scatters cost ~2x per seed on TPU
+            # (tools/: S=1 vmap 107 ms/day vs 52 plain) — run singles
+            # through the plain scan path
+            from .core.engine import run_days
+            out1, _st, _cr, _t = run_days(run, n_days=steps + 1,
+                                          seed=chunk[0])
+            results.append(jax.tree.map(
+                lambda x: np.asarray(x)[None, 1:], out1))
+            continue
         keys = jnp.stack([jr.PRNGKey(s) for s in chunk])
         if placement is not None:
             keys = jax.device_put(keys, placement(keys))

@@ -63,3 +63,16 @@ def test_run_days_agent_sharded(tiny_run):
     np.testing.assert_array_equal(out_sharded.by_group, out_plain.by_group)
     np.testing.assert_array_equal(out_sharded.available_icu_units,
                                   out_plain.available_icu_units)
+
+
+def test_ensemble_single_seed_bypass(tiny_run):
+    """batch remainder of 1 routes through the plain (non-vmapped) scan
+    and matches the vmapped result shape-wise."""
+    import numpy as np
+    from reina_tpu.ensemble import run_ensemble
+
+    outs = run_ensemble(tiny_run, seeds=[5, 6, 7], batch_size=2,
+                        n_days=9)
+    assert outs.by_group.shape[0] == 3
+    assert outs.by_group.shape[1] == 8
+    assert (outs.by_group >= 0).all()

@@ -531,6 +531,17 @@ def mutate_reset_parameters(_root, info):
     return {"ok": True}
 
 
+def mutate_set_simulation_days(_root, info, days):
+    """The Dash app's Timeframe dropdown (reference corona.py:244-254)
+    writes simulation_days into the session; exposed here so the web UI
+    can do the same."""
+    days = int(days)
+    if not 1 <= days <= 1095:
+        raise GraphQLError("simulation_days must be between 1 and 1095")
+    _store(info).set("simulation_days", days)
+    return {"ok": True}
+
+
 def mutate_activate_scenario(_root, info, scenario_id):
     store = _store(info)
     scenarios = store.get("scenarios")
@@ -567,5 +578,6 @@ SCHEMA = {
         "activate_scenario": mutate_activate_scenario,
         "set_parameter": mutate_set_parameter,
         "reset_parameters": mutate_reset_parameters,
+        "set_simulation_days": mutate_set_simulation_days,
     },
 }

@@ -258,3 +258,16 @@ def test_mobility_change_metrics_absent(monkeypatch):
     out = execute(SCHEMA, "{ mobilityChangeMetrics { dates metrics { type } } }",
                   context={"store": VariableStore()})
     assert out["data"]["mobilityChangeMetrics"] == {"dates": [], "metrics": []}
+
+
+def test_set_simulation_days():
+    """Timeframe selector write-through (reference corona.py:244-254)."""
+    c = {"store": VariableStore()}
+    out = execute(SCHEMA, "mutation { setSimulationDays(days: 90) { ok } }",
+                  context=c)
+    assert not out.get("errors"), out
+    assert c["store"].get("simulation_days") == 90
+    out = execute(SCHEMA, "mutation { setSimulationDays(days: 0) { ok } }",
+                  context=c)
+    assert out.get("errors")
+    assert c["store"].get("simulation_days") == 90

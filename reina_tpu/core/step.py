@@ -311,7 +311,6 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
 
     ct_active = sched.testing_mode == C.TESTING_ALL_WITH_SYMPTOMS_CT
     is_dead = st == C.DEAD
-    has_infector = state.infector >= 0
 
     Tcap = cfg.infection_buffer  # compact traced-source buffer size
     E = cfg.edge_buffer
@@ -347,34 +346,38 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
                 part += 1
             return hit[:N]
 
-        def trace_round(sources, queued, k):
-            """One BFS level. A candidate is queued iff ANY of its edges
-            succeeds a Bernoulli(trace_p) draw — per-edge draws are
-            exactly the reference's first-edge-wins queueing
-            (P = 1 − (1−p)^n). Edges from sources to their infector go
-            through a compact source buffer; infectee edges come from
-            the edge table (appended at infection when contact tracing
-            was active, exactly the reference's per-source lists,
-            main.pyx:219-223; removed sources never fire because
-            ``src_ok`` requires the source to still be infected —
-            the reference frees lists on removal, main.pyx:301-307)."""
+        def trace_round(src_buf, n_src, src_mask, queued, k):
+            """One BFS level over a COMPACT source buffer. A candidate
+            is queued iff ANY of its edges succeeds a Bernoulli(trace_p)
+            draw — per-edge draws are exactly the reference's
+            first-edge-wins queueing (P = 1 − (1−p)^n). Edges from
+            sources to their infector run on the compact buffer (draws,
+            infector lookups and scatters are all buffer-sized);
+            infectee edges come from the edge table (appended at
+            infection when contact tracing was active, exactly the
+            reference's per-source lists, main.pyx:219-223; removed
+            sources never fire because ``src_ok`` requires the source
+            to still be infected — the reference frees lists on
+            removal, main.pyx:301-307)."""
             k1, k2 = jr.split(k)
             # (i) source → infector edges, per-edge success on the source side
-            u1 = jr.uniform(k1, (N,), F32)
-            succ = sources & has_infector & (u1 < sched.trace_p)
-            srcbuf, n_succ = compact_indices(succ, Tcap)
-            tgt = state.infector[jnp.clip(srcbuf, 0, N - 1)]
-            tgt = jnp.where(srcbuf < N, tgt, N)
+            used = src_buf < N
+            inf_s = state.infector[jnp.clip(src_buf, 0, N - 1)]
+            u1 = jr.uniform(k1, src_buf.shape, F32)
+            succ = used & (inf_s >= 0) & (u1 < sched.trace_p)
+            tgt = jnp.where(succ, inf_s, N)
             hit1 = jnp.zeros(N + 1, bool).at[tgt].set(True)[:N]
             # (ii) infectee edges from the edge table
-            src_ok = sources & state.is_infected
+            src_ok = src_mask & state.is_infected
             hit2 = edge_hits(src_ok, k2)
             eligible = active & ~is_dead & ~was_detected & ~queued
             newq = eligible & (hit1 | hit2)
-            return queued | newq, newq, n_succ > Tcap
+            return queued | newq, newq, n_src > Tcap
 
-        q1, s1, ov1 = trace_round(drained, queued, k_trace1)
-        q2, _s2, ov2 = trace_round(s1, q1, k_trace2)
+        dbuf, n_d = compact_indices(drained & active, Tcap)
+        q1, s1, ov1 = trace_round(dbuf, n_d, drained, queued, k_trace1)
+        sbuf, n_s = compact_indices(s1, Tcap)
+        q2, _s2, ov2 = trace_round(sbuf, n_s, s1, q1, k_trace2)
         return q2, ov1 | ov2
 
     # the BFS only runs on days with contact tracing active and a

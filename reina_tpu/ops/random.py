@@ -50,7 +50,11 @@ def gamma_fixed(key, kappa: float, shape, rounds: int = 4):
         return (jnp.where(take, d * v, out), done | ok), None
 
     init = (jnp.full(shape, jnp.nan, F32), jnp.zeros(shape, bool))
-    (out, done), _ = lax.scan(body, init, jr.split(key, rounds))
+    # fully unrolled: the body is pure elementwise, so the rounds fuse
+    # into one kernel instead of paying ~90 µs scan-iteration overhead
+    # per round (tools/trace_step.py); compile cost is ~25 eqns/round
+    (out, done), _ = lax.scan(body, init, jr.split(key, rounds),
+                              unroll=rounds)
     # fallback: mean of the distribution (P(reach) < 1e-8 for rounds=8)
     return jnp.where(done, out, kappa).astype(F32)
 

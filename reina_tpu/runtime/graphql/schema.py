@@ -455,6 +455,15 @@ def resolve_scenarios(_root, info):
 
 def mutate_run_simulation(_root, info, random_seed=None):
     variables = _store(info).overrides()
+    # overload guard (reference corona.py:584-585): when the deployment
+    # restricts to preset scenarios, refuse customized runs
+    from ...config import settings
+    if settings.RESTRICT_TO_PRESET_SCENARIOS:
+        customized = [k for k in variables if k != "active_scenario"]
+        if customized:
+            raise GraphQLError(
+                "Service is restricted to preset scenarios right now; "
+                "custom settings are temporarily disabled")
     if random_seed is not None:
         variables["random_seed"] = random_seed
     try:

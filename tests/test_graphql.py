@@ -271,3 +271,18 @@ def test_set_simulation_days():
                   context=c)
     assert out.get("errors")
     assert c["store"].get("simulation_days") == 90
+
+
+def test_restrict_to_preset_scenarios(monkeypatch):
+    """Overload gate (reference corona.py:584-585): customized sessions
+    cannot start runs while the restriction is active."""
+    from reina_tpu.config import settings
+
+    monkeypatch.setattr(settings, "RESTRICT_TO_PRESET_SCENARIOS", True)
+    c = {"store": VariableStore()}
+    execute(SCHEMA, """
+        mutation { setParameter(parameterId: "mean_incubation_duration",
+                                value: 6.5) { ok } }""", context=c)
+    out = execute(SCHEMA, "mutation { runSimulation { runId } }", context=c)
+    assert out.get("errors")
+    assert "preset scenarios" in out["errors"][0]["message"]

@@ -279,8 +279,8 @@ def run_days(run: CompiledRun, n_days: Optional[int] = None,
         from ..parallel.mesh import shard_run
         arrays, schedules, state, carry = shard_run(run, mesh)
 
-    snap = snapshot_outputs(run.cfg, run.arrays, state, carry,
-                            run.schedules.mobility_scalar[0])
+    snap = snapshot_outputs(run.cfg, arrays, state, carry,
+                            schedules.mobility_scalar[0])
     rows = [jax.tree.map(lambda x: np.asarray(x)[None], snap)]
     day = 0
 
@@ -288,8 +288,13 @@ def run_days(run: CompiledRun, n_days: Optional[int] = None,
         latest = ckpt.latest_checkpoint(checkpoint_dir)
         if latest:
             state, carry, saved_out = ckpt.load_checkpoint(latest)
-            state = jax.tree.map(jnp.asarray, state)
-            carry = jax.tree.map(jnp.asarray, carry)
+            if mesh is not None:
+                # re-apply the agent-axis placement to the host arrays
+                from ..parallel.mesh import place_state_carry
+                state, carry = place_state_carry(mesh, state, carry)
+            else:
+                state = jax.tree.map(jnp.asarray, state)
+                carry = jax.tree.map(jnp.asarray, carry)
             day = int(carry.day)
             if saved_out is not None:
                 rows = [saved_out]

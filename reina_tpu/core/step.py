@@ -794,11 +794,13 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
 
     # amortized pruning: re-compact once the table doubles past the
     # last pruned size (dead fraction stays < ~50%, scans stay sized to
-    # the live edge count), or when an append would overflow
+    # the live edge count), or when an append would overflow; the
+    # doubling rule's minimum scales down for small test tables
     edge_floor = carry.edge_floor
+    prune_min = min(1 << 15, max(E // 4, 1))
     need_prune = ((edge_n + n_app > E)
                   | (edge_n > jnp.maximum(2 * edge_floor,
-                                          jnp.int32(1 << 15))))
+                                          jnp.int32(prune_min))))
     edge_src, edge_dst, edge_n, edge_floor = jax.lax.cond(
         need_prune, prune_edges, lambda a: a,
         (edge_src, edge_dst, edge_n, edge_floor))

@@ -61,10 +61,11 @@ def run_ensemble(run: CompiledRun, seeds: List[int],
 
     for i in range(0, len(seeds), batch_size):
         chunk = seeds[i:i + batch_size]
-        if len(chunk) == 1:
+        if len(chunk) == 1 and mesh is None:
             # vmapped gathers/scatters cost ~2x per seed on TPU
             # (tools/: S=1 vmap 107 ms/day vs 52 plain) — run singles
-            # through the plain scan path
+            # through the plain scan path (mesh runs keep the vmapped
+            # path so placement stays uniform across chunks)
             from .core.engine import run_days
             out1, _st, _cr, _t = run_days(run, n_days=steps + 1,
                                           seed=chunk[0])

@@ -40,22 +40,33 @@ def make_mesh(n_seed: Optional[int] = None, n_agent: Optional[int] = None,
     return Mesh(dev_grid, ("seed", "agent"))
 
 
+def _agent_placement(mesh: Mesh, n: int):
+    def placement(x):
+        if hasattr(x, "shape") and np.ndim(x) >= 1 and x.shape[0] == n:
+            spec = P("agent", *([None] * (np.ndim(x) - 1)))
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return placement
+
+
+def place_state_carry(mesh: Mesh, state, carry):
+    """Agent-shard an AgentState and replicate a DayCarry on ``mesh``
+    (used both for fresh runs and checkpoint resume)."""
+    n = state.age.shape[0]
+    placement = _agent_placement(mesh, n)
+    state = jax.tree.map(placement, state)
+    carry = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), carry)
+    return state, carry
+
+
 def shard_run(run, mesh: Mesh):
     """Place a CompiledRun's arrays for agent-axis sharding: (N,)-shaped
     model/state arrays split over 'agent', everything else replicated."""
     n = run.init_state.age.shape[0]
-
-    def placement(x):
-        if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] == n:
-            spec = P("agent", *([None] * (x.ndim - 1)))
-        else:
-            spec = P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
-
-    arrays = jax.tree.map(placement, run.arrays)
-    state = jax.tree.map(placement, run.init_state)
-    carry = jax.tree.map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, P())), run.init_carry)
+    arrays = jax.tree.map(_agent_placement(mesh, n), run.arrays)
+    state, carry = place_state_carry(mesh, run.init_state, run.init_carry)
     schedules = jax.tree.map(
         lambda x: jax.device_put(x, NamedSharding(mesh, P())), run.schedules)
     return arrays, schedules, state, carry

@@ -441,7 +441,7 @@ def resolve_scenarios(_root, info):
     store = _store(info)
     scenarios = store.get("scenarios")
     active_scenario = store.get("active_scenario")
-    customized = [k for k in store.overrides() if k != "active_scenario"]
+    customized = _customized_overrides(store.overrides())
     out = []
     for s in scenarios:
         active = s["id"] == active_scenario and not customized
@@ -453,19 +453,26 @@ def resolve_scenarios(_root, info):
 
 # --- Mutations ----------------------------------------------------------------
 
+def _customized_overrides(variables: Dict[str, Any]) -> List[str]:
+    """Session overrides beyond the active-scenario marker — the shared
+    definition of a 'customized session' (scenario active-flag and the
+    preset-restriction gate must agree)."""
+    return [k for k in variables if k != "active_scenario"]
+
+
 def mutate_run_simulation(_root, info, random_seed=None):
     variables = _store(info).overrides()
-    # overload guard (reference corona.py:584-585): when the deployment
-    # restricts to preset scenarios, refuse customized runs
-    from ...config import settings
-    if settings.RESTRICT_TO_PRESET_SCENARIOS:
-        customized = [k for k in variables if k != "active_scenario"]
-        if customized:
-            raise GraphQLError(
-                "Service is restricted to preset scenarios right now; "
-                "custom settings are temporarily disabled")
     if random_seed is not None:
         variables["random_seed"] = random_seed
+    # overload guard (reference corona.py:584-585): when the deployment
+    # restricts to preset scenarios, refuse any non-preset run — custom
+    # parameters, timeframe and explicit random seeds all change the
+    # run key and would bypass the preset result cache
+    from ...config import settings
+    if settings.RESTRICT_TO_PRESET_SCENARIOS and _customized_overrides(variables):
+        raise GraphQLError(
+            "Service is restricted to preset scenarios right now; "
+            "custom settings are temporarily disabled")
     try:
         run_id = REGISTRY.start_run(variables)
     except BusyError as e:
@@ -544,11 +551,18 @@ def mutate_set_simulation_days(_root, info, days):
     """The Dash app's Timeframe dropdown (reference corona.py:244-254)
     writes simulation_days into the session; exposed here so the web UI
     can do the same."""
-    days = int(days)
+    try:
+        days = int(days)
+    except (TypeError, ValueError):
+        raise GraphQLError("days must be an integer")
     if not 1 <= days <= 1095:
         raise GraphQLError("simulation_days must be between 1 and 1095")
     _store(info).set("simulation_days", days)
     return {"ok": True}
+
+
+def resolve_simulation_days(_root, info):
+    return int(_get(info, "simulation_days"))
 
 
 def mutate_activate_scenario(_root, info, scenario_id):
@@ -578,6 +592,7 @@ SCHEMA = {
         "scenarios": resolve_scenarios,
         "disease_parameters": resolve_disease_parameters,
         "sample_distribution": resolve_sample_distribution,
+        "simulation_days": resolve_simulation_days,
     },
     "mutation": {
         "run_simulation": mutate_run_simulation,

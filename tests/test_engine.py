@@ -114,20 +114,19 @@ def test_edge_table_pruning_and_overflow():
         ["test-with-contact-tracing", "2020-02-18", 80],
         ["import-infections", "2020-02-20", 60],
     ]
-    # roomy table: run succeeds, tracing produces detections
+    # tight table: the doubling rule's scaled minimum (edge_buffer/4)
+    # forces prunes once cumulative appends pass it; edge_floor > 0
+    # proves a prune executed, and the run stays clean
     run = build_synthetic_run(
         n_agents=8000, days=16, seed=11, interventions=ivs,
-        pad_multiple=256, cfg_overrides={"edge_buffer": 1 << 12,
-                                         "edge_head": 1 << 8})
+        pad_multiple=256, cfg_overrides={"edge_buffer": 192,
+                                         "edge_head": 64})
     out, _state, carry, _ = run_days(run, chunk_days=8)
     assert int(carry.problem) == 0
-    assert int(carry.edge_n) <= 1 << 12
+    assert int(carry.edge_floor) > 0      # at least one prune executed
+    assert int(carry.edge_n) <= 192
     bg = out.by_group.sum(axis=2)
     assert bg[-1, 5] > 0  # detections happened under CT
-
-    # pruning keeps edge_n at/below capacity across a longer epidemic:
-    # with doubling-rule prunes the table stays bounded by live edges
-    assert int(carry.edge_floor) <= int(carry.edge_n)
 
     # pathologically small table: overflow must fail loudly
     run2 = build_synthetic_run(

@@ -80,8 +80,10 @@ def _binomial_inversion(key, n, p, max_count: int = 48):
         return (f, cdf, count, settled | newly), None
 
     init = (f, f, jnp.zeros(n.shape, F32), u < f)
+    # unrolled: pure elementwise rounds over small arrays fuse into a
+    # handful of kernels instead of paying per-iteration scan overhead
     (_, _, count, settled), _ = lax.scan(
-        body, init, jnp.arange(max_count, dtype=F32))
+        body, init, jnp.arange(max_count, dtype=F32), unroll=max_count)
     return jnp.where(settled, count, jnp.minimum(n, max_count))
 
 
@@ -146,7 +148,8 @@ def _binomial_btrs(key, n, p, rounds: int = 6):
         return (jnp.where(take, k_c, out), done | accept), None
 
     init = (jnp.full(n.shape, jnp.nan, F32), jnp.zeros(n.shape, bool))
-    (out, done), _ = lax.scan(body, init, jr.split(key, rounds))
+    (out, done), _ = lax.scan(body, init, jr.split(key, rounds),
+                              unroll=rounds)
     return jnp.where(done, out, jnp.round(n * p))
 
 

@@ -20,6 +20,9 @@ import numpy as np
 def main() -> None:
     import jax
 
+    from reina_tpu.utils.compile import enable_persistent_cache
+    enable_persistent_cache()
+
     from reina_tpu.config.variables import VARIABLE_DEFAULTS
     from reina_tpu.core.engine import build_run, run_chunk
     import jax.random as jr

@@ -100,6 +100,8 @@ def cmd_sample(args):
 
 
 def main(argv=None):
+    from reina_tpu.utils.compile import enable_persistent_cache
+    enable_persistent_cache()
     ap = argparse.ArgumentParser(prog="reina_tpu", description=__doc__)
     sub = ap.add_subparsers(dest="cmd")
 

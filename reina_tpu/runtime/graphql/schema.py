@@ -605,3 +605,11 @@ SCHEMA = {
         "set_simulation_days": mutate_set_simulation_days,
     },
 }
+
+# __schema/__type introspection over the SDL-declared type system
+# (the reference serves a real graphene schema that answers these;
+# graphql_schema.py:500-508, graphql_backend.py:40-45)
+from .introspection import introspection_resolvers  # noqa: E402
+from .sdl import SDL  # noqa: E402
+
+SCHEMA["query"].update(introspection_resolvers(SDL))

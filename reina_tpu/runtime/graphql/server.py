@@ -27,6 +27,34 @@ from ...utils.locale import DEFAULT_LOCALE, TRANSLATIONS, set_active_locale
 SECRET = os.environ.get("SECRET_KEY", "reina-tpu-dev-secret").encode()
 COOKIE_NAME = "reina_session"
 
+# The IDE shell loads the graphiql bundle from a CDN in the client's
+# browser, exactly like Flask-GraphQL's graphiql=True template does.
+GRAPHIQL_HTML = """<!DOCTYPE html>
+<html>
+<head>
+  <title>GraphiQL — REINA</title>
+  <style>body { margin: 0; } #graphiql { height: 100vh; }</style>
+  <link rel="stylesheet" href="https://unpkg.com/graphiql/graphiql.min.css"/>
+</head>
+<body>
+  <div id="graphiql">Loading GraphiQL…</div>
+  <script crossorigin src="https://unpkg.com/react@18/umd/react.production.min.js"></script>
+  <script crossorigin src="https://unpkg.com/react-dom@18/umd/react-dom.production.min.js"></script>
+  <script crossorigin src="https://unpkg.com/graphiql/graphiql.min.js"></script>
+  <script>
+    const fetcher = (params) => fetch('/graphql', {
+      method: 'POST',
+      credentials: 'same-origin',
+      headers: {'Content-Type': 'application/json'},
+      body: JSON.stringify(params),
+    }).then(r => r.json());
+    ReactDOM.createRoot(document.getElementById('graphiql')).render(
+      React.createElement(GraphiQL, {fetcher: fetcher}));
+  </script>
+</body>
+</html>
+"""
+
 
 def _sign(payload: bytes) -> str:
     mac = hmac.new(SECRET, payload, hashlib.sha256).digest()[:16]
@@ -105,6 +133,17 @@ class GraphQLHandler(BaseHTTPRequestHandler):
             self.end_headers()
             self.wfile.write(body)
             return
+        if self.path.split("?")[0] == "/graphql":
+            # graphiql IDE, like the reference's Flask-GraphQL view
+            # (graphql_backend.py:40-45, graphiql=True)
+            body = GRAPHIQL_HTML.encode()
+            self.send_response(200)
+            self._cors()
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
         self.send_response(404)
         self.end_headers()
 
@@ -159,6 +198,8 @@ class GraphQLHandler(BaseHTTPRequestHandler):
 
 def serve(host: str = "0.0.0.0", port: int = 5000,
           background: bool = False) -> Optional[ThreadingHTTPServer]:
+    from reina_tpu.utils.compile import enable_persistent_cache
+    enable_persistent_cache()
     httpd = ThreadingHTTPServer((host, port), GraphQLHandler)
     if background:
         t = threading.Thread(target=httpd.serve_forever, daemon=True)

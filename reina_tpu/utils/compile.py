@@ -11,6 +11,7 @@ jit (the option is TPU-specific).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, Optional
 
 import jax
@@ -18,6 +19,22 @@ import jax
 TPU_COMPILER_OPTIONS: Dict[str, Any] = {
     "xla_tpu_force_delay_over_memory_pressure": "false",
 }
+
+
+def enable_persistent_cache(cache_dir: Optional[str] = None) -> str:
+    """Point jax's persistent compilation cache at a shared directory so
+    second-process runs (bench, CLI, server) skip the multi-minute TPU
+    compile. Tests use the same directory via tests/conftest.py. Safe to
+    call more than once; returns the directory used."""
+    if cache_dir is None:
+        cache_dir = os.environ.get(
+            "REINA_JAX_CACHE",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return cache_dir
 
 
 def _is_tpu() -> bool:

@@ -286,3 +286,112 @@ def test_restrict_to_preset_scenarios(monkeypatch):
     out = execute(SCHEMA, "mutation { runSimulation { runId } }", context=c)
     assert out.get("errors")
     assert "preset scenarios" in out["errors"][0]["message"]
+
+
+# The canonical introspection document graphiql/codegen clients send
+# (graphql-js getIntrospectionQuery(), trimmed to one ofType depth of 7).
+INTROSPECTION_QUERY = """
+query IntrospectionQuery {
+  __schema {
+    description
+    queryType { name }
+    mutationType { name }
+    subscriptionType { name }
+    types { ...FullType }
+    directives {
+      name description locations
+      args(includeDeprecated: true) { ...InputValue }
+      isRepeatable
+    }
+  }
+}
+fragment FullType on __Type {
+  kind name description specifiedByURL
+  fields(includeDeprecated: true) {
+    name description
+    args(includeDeprecated: true) { ...InputValue }
+    type { ...TypeRef }
+    isDeprecated deprecationReason
+  }
+  inputFields(includeDeprecated: true) { ...InputValue }
+  interfaces { ...TypeRef }
+  enumValues(includeDeprecated: true) {
+    name description isDeprecated deprecationReason
+  }
+  possibleTypes { ...TypeRef }
+}
+fragment InputValue on __InputValue {
+  name description type { ...TypeRef } defaultValue
+  isDeprecated deprecationReason
+}
+fragment TypeRef on __Type {
+  kind name
+  ofType { kind name ofType { kind name ofType { kind name ofType { kind name
+    ofType { kind name ofType { kind name ofType { kind name } } } } } } }
+}
+"""
+
+
+def test_introspection_full_query():
+    out = execute(SCHEMA, INTROSPECTION_QUERY)
+    assert not out.get("errors"), out.get("errors")
+    s = out["data"]["__schema"]
+    assert s["queryType"] == {"name": "Query"}
+    assert s["mutationType"] == {"name": "Mutation"}
+    by_name = {t["name"]: t for t in s["types"]}
+    # reference type names all present (graphql_schema.py:27-120)
+    for name in ("Event", "EventParameter", "EventIntParameter",
+                 "EventChoiceParameter", "Metric", "DailyMetrics",
+                 "Scenario", "SimulationResults", "SimulationArea",
+                 "EventType", "MetricType", "EventInput", "RunSimulation"):
+        assert name in by_name, name
+    # meta-types are in the type list (buildClientSchema reads them)
+    for name in ("__Schema", "__Type", "__Field", "__InputValue",
+                 "__EnumValue", "__Directive", "__TypeKind"):
+        assert name in by_name, name
+    # interface wiring both directions
+    ep = by_name["EventParameter"]
+    assert ep["kind"] == "INTERFACE"
+    assert {t["name"] for t in ep["possibleTypes"]} == {
+        "EventIntParameter", "EventChoiceParameter"}
+    eip = by_name["EventIntParameter"]
+    assert [i["name"] for i in eip["interfaces"]] == ["EventParameter"]
+    # enums generated from the live registries
+    ev_vals = {v["name"] for v in by_name["EventType"]["enumValues"]}
+    assert "LIMIT_MOBILITY" in ev_vals and "VACCINATE" in ev_vals
+    # input object fields visible
+    ei = by_name["EventInput"]
+    assert {f["name"] for f in ei["inputFields"]} == {
+        "date", "type", "parameters"}
+    # non-null/list wrapping round-trips: runSimulation: RunSimulation
+    q = by_name["Query"]
+    sr = [f for f in q["fields"] if f["name"] == "simulationResults"][0]
+    (arg,) = sr["args"]
+    assert arg["name"] == "runId"
+    assert arg["type"]["kind"] == "NON_NULL"
+    assert arg["type"]["ofType"]["name"] == "ID"
+    # directive surface
+    assert {d["name"] for d in s["directives"]} >= {
+        "skip", "include", "deprecated"}
+
+
+def test_introspection_type_query():
+    out = execute(SCHEMA, """
+      { __type(name: "Metric") {
+          kind name
+          fields { name type { kind name ofType { name } } } } }""")
+    assert not out.get("errors")
+    t = out["data"]["__type"]
+    assert t["kind"] == "OBJECT"
+    fields = {f["name"]: f for f in t["fields"]}
+    assert fields["type"]["type"]["kind"] == "NON_NULL"
+    assert fields["intValues"]["type"]["kind"] == "LIST"
+    # unknown type resolves to null, not an error
+    out2 = execute(SCHEMA, '{ __type(name: "Nope") { name } }')
+    assert out2 == {"data": {"__type": None}}
+
+
+def test_graphiql_page_served():
+    from reina_tpu.runtime.graphql.server import GRAPHIQL_HTML
+    assert "graphiql" in GRAPHIQL_HTML.lower()
+    assert "/graphql" in GRAPHIQL_HTML

@@ -282,6 +282,10 @@ def get_active_interventions(variables: typing.Optional[dict] = None) -> typing.
         obj.id = str(idx)
         out.append(obj)
 
+    # data-derived calendar (Google mobility + THL vaccinations); the
+    # reference folds these in unconditionally (common/interventions.py:
+    # 342-376). A malformed archive is reported, not hidden — only the
+    # derived events are dropped so preset scenarios keep working.
     try:
         from ..data.mobility import generate_mobility_ivs, generate_vaccination_ivs
         for iv in generate_mobility_ivs(variables):
@@ -289,7 +293,10 @@ def get_active_interventions(variables: typing.Optional[dict] = None) -> typing.
         for iv in generate_vaccination_ivs(variables):
             out.append(iv_tuple_to_obj(iv))
     except Exception:
-        pass
+        import logging
+        logging.getLogger(__name__).warning(
+            "failed to load derived interventions (derived_ivs.npz); "
+            "continuing without them", exc_info=True)
 
     if active_scenario:
         for s in scenarios:

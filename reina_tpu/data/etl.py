@@ -163,6 +163,79 @@ def import_cases(source: str) -> None:
     )
 
 
+DERIVED_AREAS = ("HUS", "Varsinais-Suomi", "Turku")
+
+
+def import_vaccinations_csv(path: str, areas=DERIVED_AREAS,
+                            out_path: str = None) -> dict:
+    """``fi_vaccinations.csv`` (area,date,<age-band> columns of weekly
+    counts) → ``vaccinate`` intervention tuples, reference semantics
+    (calc/datasets.py:251-275): NaN→0, drop the incomplete last week,
+    one tuple per (week, age band)."""
+    import json
+
+    from .mobility import DERIVED_PATH
+
+    out_path = out_path or DERIVED_PATH
+    with open(path, "r") as f:
+        rows = list(csv.DictReader(f))
+
+    derived: dict = {"mobility": {}, "vaccinations": {}}
+    if os.path.exists(out_path):
+        z = np.load(out_path, allow_pickle=False)
+        derived = json.loads(str(z["json_blob"]))
+
+    for area in areas:
+        area_rows = sorted((r for r in rows if r.get("area") == area),
+                           key=lambda r: r["date"])
+        area_rows = area_rows[:-1]  # incomplete latest week
+        band_cols = [c for c in (area_rows[0] if area_rows else {})
+                     if c not in ("area", "date")]
+        ivs = []
+        for col in band_cols:
+            if "-" in col:
+                lo, hi = (int(x) for x in col.split("-"))
+            elif col.endswith("+"):
+                lo, hi = int(col[:-1]), None
+            else:
+                continue
+            for r in area_rows:
+                val = float(r.get(col) or 0)
+                ivs.append(["vaccinate", r["date"], int(val), lo, hi])
+        if area_rows:
+            derived.setdefault("vaccinations", {})[area] = ivs
+    np.savez_compressed(out_path, json_blob=np.array(json.dumps(derived)))
+    return derived
+
+
+def import_derived(source: str) -> None:
+    """Produce data/files/derived_ivs.npz from whichever derived-data
+    sources are present in the source dir: a Google Community Mobility
+    report ZIP and/or the THL ``fi_vaccinations.csv``. The reference
+    fetches both with an online ETL at deploy time (Dockerfile hooks);
+    in an offline build they may be absent, in which case the archive
+    simply isn't produced and the variable-defined intervention
+    calendar stands alone."""
+    import glob
+
+    from ..data_import.mobility import import_zip
+
+    zips = (glob.glob(os.path.join(source, "*Region_Mobility_Report*.zip"))
+            + glob.glob(os.path.join(source, "Global_Mobility_Report.zip")))
+    if zips:
+        d = import_zip(zips[0], list(DERIVED_AREAS))
+        for area, ivs in d.get("mobility", {}).items():
+            print(f"derived mobility[{area}]: {len(ivs)} interventions")
+    vacc = os.path.join(source, "fi_vaccinations.csv")
+    if os.path.exists(vacc):
+        d = import_vaccinations_csv(vacc)
+        for area, ivs in d.get("vaccinations", {}).items():
+            print(f"derived vaccinations[{area}]: {len(ivs)} interventions")
+    if not zips and not os.path.exists(vacc):
+        print("no derived-data sources found (mobility ZIP / "
+              "fi_vaccinations.csv); skipping derived_ivs.npz")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--source", default=DEFAULT_SOURCE)
@@ -171,6 +244,7 @@ def main() -> None:
     import_population(args.source)
     import_contacts(args.source)
     import_cases(args.source)
+    import_derived(args.source)
     print("datasets written to", FILES_DIR)
 
 

@@ -112,3 +112,77 @@ def test_downscale_catchment():
     out = downscale_catchment(catchment, muni, catch)
     assert out == [dict(date="2020-03-10", dead=2, in_icu=1, in_ward=5,
                         hospitalized=6, confirmed=25)]
+
+
+def test_derived_ivs_end_to_end(tmp_path, monkeypatch):
+    """ETL → derived_ivs.npz → get_active_interventions folds the
+    derived limit-mobility/vaccinate events in (reference
+    calc/datasets.py:176-275, common/interventions.py:342-376)."""
+    import csv as csvmod
+    import io
+    import zipfile
+
+    import reina_tpu.data.mobility as dmob
+    from reina_tpu.config.interventions import get_active_interventions
+    from reina_tpu.config.variables import VariableStore
+    from reina_tpu.data.etl import import_derived
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    # tiny 2020 FI mobility report: deep drop from mid-March (Uusimaa
+    # region rows map to the HUS area)
+    cols = ["date", "sub_region_1", "sub_region_2",
+            "retail_and_recreation_percent_change_from_baseline",
+            "workplaces_percent_change_from_baseline",
+            "transit_stations_percent_change_from_baseline"]
+    buf = io.StringIO()
+    w = csvmod.DictWriter(buf, fieldnames=cols)
+    w.writeheader()
+    from datetime import date, timedelta
+    d = date(2020, 3, 1)
+    while d < date(2020, 4, 26):
+        drop = -40 if d >= date(2020, 3, 16) else -2
+        w.writerow({"date": d.isoformat(), "sub_region_1": "Uusimaa",
+                    "sub_region_2": "",
+                    cols[3]: drop, cols[4]: drop, cols[5]: drop})
+        d += timedelta(days=1)
+    with zipfile.ZipFile(src / "Region_Mobility_Report_CSVs.zip", "w") as zf:
+        zf.writestr("2020_FI_Region_Mobility_Report.csv", buf.getvalue())
+
+    # weekly vaccination counts; the latest week must be dropped
+    with open(src / "fi_vaccinations.csv", "w", newline="") as f:
+        w = csvmod.writer(f)
+        w.writerow(["area", "date", "20-39", "80+"])
+        w.writerow(["HUS", "2021-01-04", "700", "140"])
+        w.writerow(["HUS", "2021-01-11", "800", "150"])
+        w.writerow(["HUS", "2021-01-18", "999", "999"])  # incomplete
+
+    def iv_keys(ivs):
+        return {(iv.type, iv.date,
+                 tuple(sorted((k, getattr(v, "id", v))
+                              for k, v in iv.values.items())))
+                for iv in ivs}
+
+    store = VariableStore()
+    baseline = iv_keys(get_active_interventions(store.copy_all()))
+
+    out_npz = tmp_path / "derived_ivs.npz"
+    monkeypatch.setattr(dmob, "DERIVED_PATH", str(out_npz))
+    dmob._derived.cache_clear()
+    try:
+        import_derived(str(src))
+        assert out_npz.exists()
+
+        extra = iv_keys(get_active_interventions(store.copy_all())) - baseline
+        mob = [e for e in extra if e[0] == "limit-mobility"]
+        vac = [e for e in extra if e[0] == "vaccinate"]
+        assert mob, "derived limit-mobility events missing"
+        assert {dict(e[2]).get("place") for e in mob} == {
+            "leisure", "work", "transport"}
+        assert vac, "derived vaccinate events missing"
+        assert {e[1] for e in vac} == {"2021-01-04", "2021-01-11"}
+        # the incomplete latest week was dropped
+        assert not any(e[1] == "2021-01-18" for e in vac)
+    finally:
+        dmob._derived.cache_clear()

@@ -19,7 +19,8 @@ from reina_tpu.core.state import np_gamma, np_severity_draw
 class OraclePerson:
     __slots__ = ("age", "state", "severity", "outside", "days_left",
                  "day_of_illness", "day_of_infection", "o2r", "variant",
-                 "infector", "n_infected", "detected", "immune", "queued")
+                 "infector", "n_infected", "detected", "immune", "queued",
+                 "infectees", "dov")
 
     def __init__(self, age):
         self.age = age
@@ -36,6 +37,8 @@ class OraclePerson:
         self.detected = False
         self.immune = False
         self.queued = False
+        self.infectees = None   # list only while CT mode tracks this agent
+        self.dov = -1           # day of vaccination
 
     @property
     def infected(self):
@@ -44,13 +47,22 @@ class OraclePerson:
 
 
 class Oracle:
-    """Wild-type only, no testing/tracing/vaccination (those phases have
-    dedicated unit tests); exposure + progression + capacity are the
-    stochastically-coupled core worth cross-validating."""
+    """Wild-type sequential spec, including the policy layer: testing
+    modes, 2-level contact tracing, oldest-first vaccination and
+    capacity rationing, mirroring the reference HealthcareSystem
+    (main.pyx:441-660) and person state machine (main.pyx:209-440).
+
+    ``events`` is a list of (day, kind, params) applied at day start
+    like the reference's dated interventions:
+      ("testing-mode", (mode, p))   mode in (None, "severe", "all",
+                                    "all_ct"); p = mild-detection /
+                                    tracing-efficiency probability
+      ("vaccinate", (daily, min_age, max_age))
+    """
 
     def __init__(self, age_counts, dis: DiseaseArrays, contact_base,
                  band_of_age, beds, icu, seed, daily_imports=0,
-                 import_days=None):
+                 import_days=None, events=()):
         self.rng = np.random.default_rng(seed)
         self.dis = dis
         ages = np.repeat(np.arange(len(age_counts)), age_counts)
@@ -77,6 +89,19 @@ class Oracle:
              if band_of_age[p.age] == b] for b in range(self.nbands)]
         self.history = []
 
+        # healthcare system (reference main.pyx:451-660)
+        self.events = sorted(events)
+        self.testing_mode = None
+        self.p_detected_anyway = 0.0
+        self.p_successful_tracing = 1.0
+        self.testing_queue = []
+        self.vaccinations = []   # [{nr_daily, min_age, max_age}]
+        self.ct_cases = 0
+        self.all_detected = 0
+        # oldest-first vaccination order (people_sorted_by_age)
+        self.by_age_order = sorted(range(self.n),
+                                   key=lambda i: self.people[i].age)
+
     # --- disease math (mirrors main.pyx) -------------------------------
     def infectiousness(self, p):
         if p.state == C.INCUBATION:
@@ -93,9 +118,11 @@ class Oracle:
             return val
         return 0.0
 
-    def infect(self, p, infector=None):
+    def infect(self, p, infector=None, idx=None):
         p.state = C.INCUBATION
-        sev, outside = np_severity_draw(self.rng, self.dis, 0, p.age)
+        vdays = self.day - p.dov if p.dov >= 0 else -1
+        sev, outside = np_severity_draw(self.rng, self.dis, 0, p.age,
+                                        vaccinated_days=vdays)
         p.severity, p.outside = sev, outside
         p.days_left = int(np_gamma(self.rng, float(self.dis.mu_incub[0]),
                                    C.INCUBATION_CV) + 0.5)
@@ -105,7 +132,15 @@ class Oracle:
         p.day_of_infection = self.day
         if infector is not None:
             p.infector = infector
-            self.people[infector].n_infected += 1
+            src = self.people[infector]
+            src.n_infected += 1
+            if src.infectees is not None and idx is not None:
+                src.infectees.append(idx)
+        # under contact tracing, newly infected agents track their own
+        # infectees (main.pyx:227-234: buffer malloc'ed at infection
+        # only while CT mode is active)
+        if self.testing_mode == "all_ct":
+            p.infectees = []
 
     def expose_others(self, p, idx):
         inf = self.infectiousness(p)
@@ -124,13 +159,14 @@ class Oracle:
             members = self.band_members[band]
             if not members:
                 continue
-            t = self.people[members[self.rng.integers(len(members))]]
+            t_idx = members[self.rng.integers(len(members))]
+            t = self.people[t_idx]
             if t.infected or t.immune:
                 continue
             prob = (inf * float(self.dis.p_susc[0, t.age])
                     * float(self.dis.inf_mult[0]))
             if self.rng.random() < prob:
-                self.infect(t, infector=idx)
+                self.infect(t, infector=idx, idx=t_idx)
 
     def advance(self, p, idx):
         d = self.dis
@@ -145,6 +181,10 @@ class Oracle:
                 ratio = (float(d.ratio_before_hosp[0])
                          if p.severity >= C.SEVERE else 1.0)
                 p.days_left = int(p.o2r * ratio + 0.5)
+                # symptomatic people seek testing at onset
+                # (person_become_ill, main.pyx:284-292)
+                if p.severity != C.ASYMPTOMATIC and not p.detected:
+                    self.seek_testing(idx, p)
         elif p.state == C.ILLNESS:
             self.expose_others(p, idx)
             p.day_of_illness += 1
@@ -178,7 +218,9 @@ class Oracle:
 
     def hospitalize(self, p):
         d = self.dis
-        p.detected = True
+        if not p.detected:
+            p.detected = True
+            self.all_detected += 1
         if self.beds_avail == 0:
             chance = (1.0 if p.severity == C.FATAL
                       else float(d.p_icu_death_no_beds[0])
@@ -218,21 +260,114 @@ class Oracle:
     def die(self, p):
         p.state = C.DEAD
         p.immune = True
+        p.infectees = None   # freed on removal (main.pyx:301-307)
 
     def recover(self, p):
         p.state = C.RECOVERED
         p.immune = True
+        p.infectees = None   # freed on removal (main.pyx:301-307)
+
+    # --- healthcare system (main.pyx:441-660) --------------------------
+    def seek_testing(self, idx, p):
+        if self.testing_mode in ("all", "all_ct"):
+            self.queue_for_testing(idx, 1.0)
+        elif self.testing_mode == "severe":
+            if (p.severity >= C.SEVERE
+                    or self.rng.random() < self.p_detected_anyway):
+                self.queue_for_testing(idx, 1.0)
+
+    def queue_for_testing(self, idx, p_success):
+        p = self.people[idx]
+        if p.state == C.DEAD or p.detected or p.queued:
+            return False
+        if self.rng.random() >= p_success:
+            return False
+        p.queued = True
+        self.testing_queue.append(idx)
+        return True
+
+    def contact_trace(self, idx, level):
+        """2-level BFS over infector + infectee links
+        (perform_contact_tracing, main.pyx:495-512)."""
+        if level > 1:
+            return
+        p = self.people[idx]
+        if p.infector >= 0:
+            if self.queue_for_testing(p.infector, self.p_successful_tracing):
+                self.contact_trace(p.infector, level + 1)
+        if p.infectees is not None:
+            for t in list(p.infectees):
+                if self.queue_for_testing(t, self.p_successful_tracing):
+                    self.contact_trace(t, level + 1)
+
+    def hc_iterate(self):
+        """Morning drain: run queued tests (detection is unconditional in
+        the production build, main.pyx:514-545), contact-trace under CT
+        mode, then vaccinate oldest-first (main.pyx:560-584)."""
+        queue, self.testing_queue = self.testing_queue, []
+        self.ct_cases = len(queue)
+        for idx in queue:
+            p = self.people[idx]
+            p.queued = False
+            if not p.detected:
+                p.detected = True
+                self.all_detected += 1
+            if self.testing_mode == "all_ct":
+                self.contact_trace(idx, 0)
+        for v in self.vaccinations:
+            nr = int(v["nr_daily"])
+            mn = v["min_age"] if v["min_age"] is not None else 0
+            mx = v["max_age"] if v["max_age"] is not None else 200
+            done = 0
+            for i in reversed(self.by_age_order):
+                if done >= nr:
+                    break
+                p = self.people[i]
+                if not (mn <= p.age <= mx):
+                    continue
+                if p.state == C.DEAD or p.dov >= 0 or p.detected:
+                    continue
+                p.dov = self.day
+                done += 1
+
+    def apply_events(self):
+        for day, kind, params in self.events:
+            if day != self.day:
+                continue
+            if kind == "testing-mode":
+                mode, p = params
+                self.testing_mode = mode
+                if mode == "all_ct":
+                    self.p_successful_tracing = p
+                elif mode == "severe":
+                    self.p_detected_anyway = p
+            elif kind == "vaccinate":
+                daily, mn, mx = params
+                for v in self.vaccinations:
+                    if v["min_age"] == mn and v["max_age"] == mx:
+                        v["nr_daily"] = daily
+                        break
+                else:
+                    self.vaccinations.append(
+                        dict(nr_daily=daily, min_age=mn, max_age=mx))
+            else:
+                raise ValueError(kind)
 
     def snapshot(self):
         s = dict(infected=0, all_infected=0, dead=0, in_ward=0, in_icu=0,
-                 recovered=0)
+                 recovered=0, vaccinated=0, non_hospital_dead=0,
+                 all_detected=self.all_detected, ct_cases=self.ct_cases)
         for p in self.people:
             if p.infected:
                 s["infected"] += 1
             if p.day_of_infection >= 0:
                 s["all_infected"] += 1
+            if p.dov >= 0:
+                s["vaccinated"] += 1
             if p.state == C.DEAD:
                 s["dead"] += 1
+                if p.outside:
+                    s["non_hospital_dead"] += 1
             elif p.state == C.HOSPITALIZED:
                 s["in_ward"] += 1
             elif p.state == C.IN_ICU:
@@ -250,10 +385,15 @@ class Oracle:
                     break
 
     def run(self, days):
+        """Day order mirrors the reference _iterate (main.pyx:1994-2009):
+        dated interventions → imports → hc.iterate (tests, tracing,
+        vaccinations) → person sweep."""
         for _ in range(days):
             self.history.append(self.snapshot())
+            self.apply_events()
             if self.import_days is None or self.day in self.import_days:
                 self.import_infections(self.daily_imports)
+            self.hc_iterate()
             start = self.rng.integers(self.n)
             for i in range(self.n):
                 idx = (start + i) % self.n

@@ -17,7 +17,7 @@ N_AGENTS = 3000
 DAYS = 30
 IMPORT_DAYS = 5
 IMPORTS_PER_DAY = 4
-SEEDS = 6
+SEEDS = 12
 
 
 def _variables():
@@ -86,7 +86,7 @@ def test_epidemic_growth_matches(engine_curves, oracle_curves):
     for day in (10, 20, DAYS - 1):
         me, se_e = _mean_se(engine_curves, "all_infected", day)
         mo, se_o = _mean_se(oracle_curves, "all_infected", day)
-        tol = 4 * np.hypot(se_e, se_o) + 0.15 * max(mo, 10)
+        tol = 4 * np.hypot(se_e, se_o) + 0.10 * max(mo, 10)
         assert abs(me - mo) <= tol, (
             f"day {day}: engine {me:.1f}±{se_e:.1f} vs oracle {mo:.1f}±{se_o:.1f}")
 
@@ -114,4 +114,4 @@ def test_hospital_load_same_scale(engine_curves, oracle_curves):
     of the severity chain; only a loose check is statistically fair)."""
     peak_e = np.mean([c["in_ward"].max() for c in engine_curves])
     peak_o = np.mean([c["in_ward"].max() for c in oracle_curves])
-    assert abs(peak_e - peak_o) <= max(4.0, 0.8 * max(peak_e, peak_o))
+    assert abs(peak_e - peak_o) <= max(3.0, 0.5 * max(peak_e, peak_o))

@@ -140,18 +140,28 @@ def score_against_observed(outs, run: CompiledRun,
     date. Lower is better."""
     from datetime import date, timedelta
 
+    from .core.step import GROUP_ROW
+
     if observed_rows is None:
         observed_rows = loaders.get_detected_cases(run.meta["area_name"])
-    attr_idx = {"all_detected": 5, "dead": 9}[metric]
+    # observed casefile column per simulated metric
+    obs_col = {"all_detected": "confirmed", "dead": "dead",
+               "in_icu": "in_icu", "in_ward": "in_ward"}
+    if metric not in obs_col:
+        raise ValueError(f"unsupported calibration metric {metric!r}; "
+                         f"choose from {sorted(obs_col)}")
+    attr_idx = GROUP_ROW[metric]
     start = date.fromisoformat(run.start_date)
     sim = outs.by_group[..., attr_idx, :].sum(axis=-1)   # (G, days)
     n_days = sim.shape[1]
     obs_by_day = {}
     for r in observed_rows:
+        # sweep outputs have no leading snapshot row: sim[j] is the
+        # state after day j, i.e. dated start + j + 1 — an observation
+        # dated start + d therefore aligns with sim[d - 1]
         d = (date.fromisoformat(r["date"]) - start).days
         if 0 <= d - 1 < n_days:
-            obs_by_day[d - 1] = float(r["confirmed" if metric ==
-                                        "all_detected" else metric])
+            obs_by_day[d - 1] = float(r[obs_col[metric]])
     if not obs_by_day:
         raise ValueError("no observed days overlap the simulation window")
     idx = np.array(sorted(obs_by_day))

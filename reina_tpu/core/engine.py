@@ -129,11 +129,6 @@ def build_run(variables: Dict[str, Any],
         p_doh=jnp.asarray(disease.p_doh),
         band_ag=jnp.asarray(band_ag),
         lam_log1p_ag=jnp.asarray(lam_log1p_ag),
-        p_sympt_ag=jnp.asarray(disease.p_sympt[:, ages_i]),
-        p_doh_ag=jnp.asarray(disease.p_doh[:, ages_i]),
-        p_sev_ag=jnp.asarray(disease.p_severe_c[:, ages_i]),
-        p_crit_ag=jnp.asarray(disease.p_critical_c[:, ages_i]),
-        p_fatal_ag=jnp.asarray(disease.p_fatal_c[:, ages_i]),
         age_onehot_hi=age_onehot_hi,
         age_onehot_lo=age_onehot_lo,
         age_onehot_full=age_onehot_full,

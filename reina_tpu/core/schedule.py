@@ -132,6 +132,10 @@ def compile_schedules(
                 for pn, val in p.items():
                     if pn.startswith("variant_") and val:
                         shares[variant_idx(pn[len("variant_"):])] = val / 100.0
+                if shares[1:].sum() > 1.0 + 1e-6:
+                    raise ValueError(
+                        "import-infections-weekly variant shares sum to "
+                        f"{shares[1:].sum() * 100:.0f}% > 100% on {iv.date}")
                 shares[0] = 1.0 - shares[1:].sum()
                 weekly_shares = shares
             elif t == "limit-mobility":

@@ -87,11 +87,6 @@ class ModelArrays(NamedTuple):
     # every age-indexed lookup is pre-expanded at build time)
     band_ag: jnp.ndarray         # (N,) int32 — contact band per agent
     lam_log1p_ag: jnp.ndarray    # (V, N) f32 — log1p(−σ/(σmax·N_band))
-    p_sympt_ag: jnp.ndarray      # (V, N)
-    p_doh_ag: jnp.ndarray        # (V, N)
-    p_sev_ag: jnp.ndarray        # (V, N)
-    p_crit_ag: jnp.ndarray       # (V, N)
-    p_fatal_ag: jnp.ndarray      # (V, N)
     # exact dynamic per-age expansion: age = 8·hi + lo → two bf16 matmuls
     age_onehot_hi: jnp.ndarray   # (N, 13) bf16
     age_onehot_lo: jnp.ndarray   # (N, 8) bf16
@@ -168,14 +163,6 @@ def _vsel(table, variant, v_count):
     return acc
 
 
-def _vsel_rows(rows, variant, v_count):
-    """rows[variant] where rows is (V, N): per-agent row select."""
-    acc = rows[0]
-    for v in range(1, v_count):
-        acc = jnp.where(variant == v, rows[v], acc)
-    return acc
-
-
 def expand_by_age(arrays: ModelArrays, per_age):
     """Expand a dynamic (A,) table to per-agent values exactly, as two
     bf16 one-hot matmuls (age = 8·hi + lo): the table is split into a
@@ -190,24 +177,26 @@ def expand_by_age(arrays: ModelArrays, per_age):
     return jnp.sum(y * arrays.age_onehot_lo.astype(F32), axis=1)
 
 
-def _severity_draw(key, arrays: ModelArrays, variant, v_count, dov, day):
-    """Vectorized get_symptom_severity (main.pyx:1041-1091), including
-    the duplicated fatal branch that sends every chain-fatal case to
-    death outside hospital. Returns (severity i8, death_outside bool).
-    All age lookups use the per-agent static tables."""
-    val = jr.uniform(key, variant.shape, F32)
+def _severity_draw_slots(key, arrays: ModelArrays, v_i, age_i, dov_i, day):
+    """get_symptom_severity (main.pyx:1041-1091) on the compact
+    infection-slot domain — severity only exists for agents infected
+    today, so the draw runs on slot-sized vectors (small-table gathers
+    by (variant, age)) instead of full-N passes, including the
+    duplicated fatal branch that sends every chain-fatal case to death
+    outside hospital. Returns (severity i8, death_outside bool)."""
+    val = jr.uniform(key, v_i.shape, F32)
     vmod = jnp.where(
-        (dov >= 0) & ((day - dov.astype(I32)) > C.VACCINE_DELAY_DAYS),
+        (dov_i >= 0) & ((day - dov_i.astype(I32)) > C.VACCINE_DELAY_DAYS),
         1.0 - C.VACCINE_EFFICACY, 1.0)
-    syc_raw = _vsel_rows(arrays.p_sympt_ag, variant, v_count)
+    syc_raw = arrays.p_sympt[v_i, age_i]
     asympt = val >= syc_raw
     syc = syc_raw * vmod
-    dohc = _vsel_rows(arrays.p_doh_ag, variant, v_count)
+    dohc = arrays.p_doh[v_i, age_i]
     fatal_doh = (dohc > 0) & (val < dohc * syc)
     val = jnp.where(dohc > 0, (val - dohc) / (1 - dohc), val)
-    sc = _vsel_rows(arrays.p_sev_ag, variant, v_count)
-    cc = _vsel_rows(arrays.p_crit_ag, variant, v_count)
-    fc = _vsel_rows(arrays.p_fatal_ag, variant, v_count)
+    sc = arrays.p_severe_c[v_i, age_i]
+    cc = arrays.p_critical_c[v_i, age_i]
+    fc = arrays.p_fatal_c[v_i, age_i]
     sev = jnp.where(val < sc * syc, C.SEVERE, C.MILD)
     sev = jnp.where(val < cc * sc * syc, C.CRITICAL, sev)
     fatal_chain = val < fc * cc * sc * syc
@@ -255,6 +244,17 @@ def _group_counts(arrays: ModelArrays, masks):
     counts = jnp.dot(stacked, arrays.group_onehot,
                      preferred_element_type=F32)  # (K, G+1)
     return counts[:, :-1].astype(I32)
+
+
+# Row index of each population attribute in DayOutputs.by_group —
+# the single source of truth for every consumer (simulation driver,
+# calibration scoring, tests). Must match the masks list in phase 7.
+GROUP_ROW = {
+    "susceptible": 0, "vaccinated": 1, "infected": 2, "all_infected": 3,
+    "detected": 4, "all_detected": 5, "in_icu": 6, "cum_icu": 7,
+    "in_ward": 8, "dead": 9, "recovered": 10, "non_hospital_deaths": 11,
+    "new_infections": 12,
+}
 
 
 def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
@@ -690,7 +690,9 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     kappa_o2r = 1.0 / (C.ONSET_TO_REMOVED_CV ** 2)
 
     def slot_pipeline(buf_part, part: int):
-        """Attribution + standard-gamma draws for one buffer tier.
+        """Attribution, severity/duration draws and standard gammas for
+        one buffer tier — everything a new infection needs, computed on
+        slot-sized vectors (person_infect, main.pyx:209-235).
         Attribution is a two-stage categorical: source age class ∝
         C[a,v]·T[v,a,b], then source within class ∝ contacts ×
         infectiousness — exact under dart Poissonization."""
@@ -723,7 +725,18 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
             inf_new = jnp.where(ok_v, src_v, inf_new)
         g1 = gamma_fixed(jr.fold_in(k_gam1, part), kappa_inc, (m,))
         g2 = gamma_fixed(jr.fold_in(k_gam2, part), kappa_o2r, (m,))
-        return inf_new, g1, g2
+        # severity + durations per slot: (variant, severity)-dependent
+        # scales applied to the standard-gamma draws
+        age_i = age[bp]
+        dov_i = dov[bp]
+        sev_i, outside_i = _severity_draw_slots(
+            jr.fold_in(k_sev, part), arrays, v_i, age_i, dov_i, day)
+        theta_inc = (C.INCUBATION_CV ** 2) * arrays.mu_incub[v_i]
+        incub_i = _round_to_int(g1 * theta_inc)
+        mu_o2r = jnp.where(sev_i == C.FATAL, arrays.mu_death[v_i],
+                           arrays.mu_recov[v_i])
+        o2r_i = g2 * (C.ONSET_TO_REMOVED_CV ** 2) * mu_o2r
+        return inf_new, sev_i, outside_i, incub_i, o2r_i
 
     # geometric tiers (head, 3·head, 9·head, …): a day pays only for the
     # tiers its infection count reaches
@@ -742,15 +755,20 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
             n_new > lo, do_seg,
             lambda _, seg=seg: (jnp.full(seg, N, I32),
                                 jnp.full(seg, -1, I32),
-                                jnp.zeros(seg, F32), jnp.zeros(seg, F32)),
+                                jnp.zeros(seg, jnp.int8),
+                                jnp.zeros(seg, bool),
+                                jnp.zeros(seg, jnp.int16),
+                                jnp.zeros(seg, F32)),
             0))
         lo += seg
         pidx += 1
     if len(parts) == 1:
-        buf_agent, infector_new, g1_slot, g2_slot = parts[0]
+        (buf_agent, infector_new, sev_slot, outside_slot, incub_slot,
+         o2r_slot) = parts[0]
     else:
-        buf_agent, infector_new, g1_slot, g2_slot = (
-            jnp.concatenate([p[i] for p in parts]) for i in range(4))
+        (buf_agent, infector_new, sev_slot, outside_slot, incub_slot,
+         o2r_slot) = (jnp.concatenate([p[i] for p in parts])
+                      for i in range(6))
     slot_used = buf_agent < N
 
     infector = state.infector.at[jnp.where(slot_used, buf_agent, N)].set(
@@ -758,19 +776,9 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     src_scatter = jnp.where(slot_used & (infector_new >= 0), infector_new, N)
     n_infected = state.n_infected.at[src_scatter].add(1, mode="drop")
 
-    # initialize newly-infected fields (person_infect, main.pyx:209-235);
-    # standard-gamma draws happened on the slot domain and scatter to
-    # agents, the (variant, severity)-dependent scale applies per agent
-    sev_new, outside_new = _severity_draw(k_sev, arrays, variant_new, V,
-                                          dov, day)
-    g_std_inc = jnp.zeros(N, F32).at[buf_agent].set(g1_slot, mode="drop")
-    g_std_o2r = jnp.zeros(N, F32).at[buf_agent].set(g2_slot, mode="drop")
-    theta_inc = (C.INCUBATION_CV ** 2) * _vsel(arrays.mu_incub, variant_new, V)
-    incub_days = _round_to_int(g_std_inc * theta_inc)
-    mu_o2r = jnp.where(sev_new == C.FATAL,
-                       _vsel(arrays.mu_death, variant_new, V),
-                       _vsel(arrays.mu_recov, variant_new, V))
-    g_o2r = g_std_o2r * (C.ONSET_TO_REMOVED_CV ** 2) * mu_o2r
+    # initialize newly-infected fields (person_infect, main.pyx:209-235):
+    # severity/duration values were drawn on the slot domain and scatter
+    # straight into the agent arrays (every newly agent owns one slot)
 
     # append infectee edges (reference main.pyx:219-223: the source's
     # list gains the infectee when contact tracing is active at
@@ -813,10 +821,11 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     edge_n = jnp.minimum(edge_n + n_app, E)
 
     new_st = jnp.where(newly, C.INCUBATION, new_st)
-    sev_out = jnp.where(newly, sev_new.astype(I32), sev)
-    death_outside = jnp.where(newly, outside_new, state.death_outside)
-    days_left = jnp.where(newly, incub_days, days_left)
-    o2r = jnp.where(newly, g_o2r, o2r)
+    sev_out = sev.at[buf_agent].set(sev_slot.astype(I32), mode="drop")
+    death_outside = state.death_outside.at[buf_agent].set(
+        outside_slot, mode="drop")
+    days_left = days_left.at[buf_agent].set(incub_slot, mode="drop")
+    o2r = o2r.at[buf_agent].set(o2r_slot, mode="drop")
     is_infected = is_infected | newly
     day_of_infection = jnp.where(newly, day.astype(jnp.int16),
                                  state.day_of_infection)
@@ -826,6 +835,7 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     # ---- phase 7: outputs ----------------------------------------------
     ever_infected = is_infected | has_immunity
     dead_m = new_st == C.DEAD
+    # row order MUST match GROUP_ROW below (the one place it is defined)
     masks = [
         active & ~ever_infected,                   # susceptible
         active & (dov >= 0),                       # vaccinated

@@ -199,7 +199,12 @@ def searchsorted_fixed(sorted_arr, queries, side: str = "left",
         hi = jnp.where(active & ~go_right, mid, hi)
         return (lo, hi), None
 
-    (lo, hi), _ = lax.scan(body, (lo, hi), None, length=n_steps)
+    # partial unroll: scan-iteration overhead is ~55 µs/round on this
+    # TPU (measured: 21 scanned rounds 2.4 ms vs 1.3-1.6 ms unrolled for
+    # 4096 queries); unroll=7 keeps the jaxpr growth bounded while
+    # removing ~2/3 of the iteration floors
+    (lo, hi), _ = lax.scan(body, (lo, hi), None, length=n_steps,
+                           unroll=min(n_steps, 7))
     return lo
 
 

@@ -33,13 +33,9 @@ STATE_ATTRS = [
     "total_icu_units", "ct_cases_per_day", "r", "mobility_limitation",
 ]
 
-# Position of each POP_ATTR row in DayOutputs.by_group (step.GROUPED_ATTRS)
-_GROUP_ROW = {
-    "susceptible": 0, "vaccinated": 1, "infected": 2, "all_infected": 3,
-    "detected": 4, "all_detected": 5, "in_icu": 6, "cum_icu": 7,
-    "in_ward": 8, "dead": 9, "recovered": 10, "non_hospital_deaths": 11,
-    "new_infections": 12,
-}
+# Position of each POP_ATTR row in DayOutputs.by_group — defined once
+# next to the masks that produce it (core/step.py)
+from .core.step import GROUP_ROW as _GROUP_ROW  # noqa: E402
 
 
 def _resolve_variables(variable_store: Optional[dict] = None) -> Dict:

@@ -119,12 +119,12 @@ def test_edge_table_pruning_and_overflow():
     # proves a prune executed, and the run stays clean
     run = build_synthetic_run(
         n_agents=8000, days=16, seed=11, interventions=ivs,
-        pad_multiple=256, cfg_overrides={"edge_buffer": 192,
+        pad_multiple=256, cfg_overrides={"edge_buffer": 256,
                                          "edge_head": 64})
     out, _state, carry, _ = run_days(run, chunk_days=8)
     assert int(carry.problem) == 0
     assert int(carry.edge_floor) > 0      # at least one prune executed
-    assert int(carry.edge_n) <= 192
+    assert int(carry.edge_n) <= 256
     bg = out.by_group.sum(axis=2)
     assert bg[-1, 5] > 0  # detections happened under CT
 

@@ -23,6 +23,46 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Initialize the multi-host (multi-process) runtime for meshes that
+    span hosts (SURVEY §5.8: DCN between hosts, ICI within).
+
+    Call once per process before any device access. On managed TPU pods
+    (GKE/Cloud TPU) jax discovers everything from the environment and
+    all arguments may be omitted; elsewhere pass the coordinator's
+    ``host:port`` plus this process's id and the world size, or set
+    ``REINA_COORDINATOR`` / ``REINA_NUM_PROCESSES`` / ``REINA_PROCESS_ID``.
+
+    After initialization ``jax.devices()`` is the GLOBAL device list —
+    pass it to :func:`make_mesh` and keep the ``seed`` (data-parallel)
+    axis as the slow, inter-host dimension so its rare collectives ride
+    DCN while the chatty ``agent``-axis reductions stay on ICI:
+    ``make_mesh(n_seed=n_hosts, n_agent=chips_per_host)``.
+
+    Single-process runs (no coordinator configured) are a no-op.
+    Returns the number of participating processes.
+    """
+    import os
+
+    coordinator_address = coordinator_address or os.environ.get(
+        "REINA_COORDINATOR")
+    managed_env = any(k in os.environ for k in (
+        "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
+        "CLOUD_TPU_TASK_ID"))
+    if coordinator_address is None and not managed_env:
+        return 1
+    if num_processes is None and os.environ.get("REINA_NUM_PROCESSES"):
+        num_processes = int(os.environ["REINA_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("REINA_PROCESS_ID"):
+        process_id = int(os.environ["REINA_PROCESS_ID"])
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return jax.process_count()
+
+
 def make_mesh(n_seed: Optional[int] = None, n_agent: Optional[int] = None,
               devices: Optional[Sequence] = None) -> Mesh:
     """Build a (seed × agent) mesh over the available devices."""

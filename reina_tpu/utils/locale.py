@@ -174,6 +174,20 @@ _FI = {
     "Fatalities": "Kuolleet",
     "Total number of deaths at the end of simulation.":
         "Kuolleiden lukumäärä simulaation päättyessä.",
+    "Events (%(num)s)": "Tapahtumat (%(num)s)",
+    "%(days)d days": "%(days)d päivää",
+    "Forecast of the COVID-19 epidemic: %(name)s":
+        "COVID-19-epidemian kehittyminen: %(name)s",
+    "The cumulative sum of daily percentages of mobility restrictions. "
+    "The index can be used as a rough indicator of harmful psychological, "
+    "social and economic effects. A higher index means more severe effects.":
+        "Kumulatiivinen rajoitusprosenteista laskettu indikaattori, jolla "
+        "voidaan hyvin karkeasti kuvata eristymisestä aiheutuvia "
+        "psykologisia, sosiaalisia ja talousvaikutuksia. Korkeammalla "
+        "rajoituspäiväluvulla vaikutukset ovat merkittävämmät.",
+    "Number of days that ICU units had less than 10%% of capacity left.":
+        "Kuinka monena päivänä tehohoitokapasiteettia oli alle 10%% "
+        "jäljellä.",
 }
 
 TRANSLATIONS = {"fi": _FI, "en": {}}

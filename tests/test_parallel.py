@@ -76,3 +76,19 @@ def test_ensemble_single_seed_bypass(tiny_run):
     assert outs.by_group.shape[0] == 3
     assert outs.by_group.shape[1] == 8
     assert (outs.by_group >= 0).all()
+
+
+def test_init_distributed_single_process_noop(monkeypatch):
+    """Without a coordinator configured, multi-host init is a no-op."""
+    from reina_tpu.parallel.mesh import init_distributed
+    for k in ("REINA_COORDINATOR", "TPU_WORKER_HOSTNAMES",
+              "MEGASCALE_COORDINATOR_ADDRESS", "CLOUD_TPU_TASK_ID"):
+        monkeypatch.delenv(k, raising=False)
+    assert init_distributed() == 1
+
+
+def test_fi_catalog_complete():
+    """The Finnish catalog covers the reference's full messages.po
+    (139 unique msgids; locale/fi/LC_MESSAGES/messages.po)."""
+    from reina_tpu.utils.locale import TRANSLATIONS
+    assert len(TRANSLATIONS["fi"]) >= 139

@@ -210,15 +210,34 @@ def _severity_draw_slots(key, arrays: ModelArrays, v_i, age_i, dov_i, day):
 
 
 def _binomial_split(key, totals, probs):
-    """Multinomial across the trailing axis of ``probs`` via sequential
-    conditional binomials (while-free fixed-round sampler — see
-    ops/random.py). totals: (...,) float; probs: (..., B) with sum ≤ 1
-    (the remainder is the discard category). Returns (..., B) float32.
+    """Per-category dart counts across the trailing axis of ``probs``:
+    independent Binomial(totals, p_b) draws, vectorized as ONE
+    while-free sampler call (ops/random.py). totals: (...,) float;
+    probs: (..., B) with sum ≤ 1 (remainder = discard category).
+    Returns (..., B) float32.
 
-    The category chain runs under ``lax.scan``: one unrolled
-    binomial_fixed is ~1.7k jaxpr equations, and the two split call
-    sites (8 bands + 6 places) dominated the day step's compile time
-    when unrolled."""
+    Each draw is the EXACT marginal of the underlying multinomial; what
+    is dropped is the (negative) cross-category covariance of the
+    counts — the earlier sequential conditional-binomial chain sampled
+    the joint exactly but serialized B sampler invocations under
+    ``lax.scan``, costing ~1.8 ms/day in launch floors at B=9. The
+    covariance affects no per-category mean or variance, only the joint
+    fluctuation of dart totals across bands (relative effect
+    O(1/sqrt(K)) on the already-noisy total), and is documented in
+    docs/parity.md. Callers that need the categories to exactly
+    partition the total (probs summing to 1) use
+    ``_binomial_split_exact`` instead."""
+    n_full = jnp.broadcast_to(totals[..., None].astype(F32), probs.shape)
+    return binomial_fixed(key, n_full, probs.astype(F32))
+
+
+def _binomial_split_exact(key, totals, probs):
+    """Exact multinomial split via sequential conditional binomials
+    (the categories partition the total when probs sum to 1). Used for
+    the exposures-by-place output stat, where the place counts must sum
+    exactly to exposed_per_day; the chain serializes B sampler calls
+    under ``lax.scan`` (an unrolled chain once blew the program past
+    35k jaxpr equations)."""
     B = probs.shape[-1]
 
     def body(carry, xs):
@@ -669,22 +688,31 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     # under lax.cond only on days with > infection_head new infections.
     Kcap = cfg.infection_buffer
     Kh = min(cfg.infection_head, Kcap)
-    cum_newly = jnp.cumsum(newly.astype(I32))
-    n_new = cum_newly[-1]
+    # ONE cumulative pass for the compaction ranks AND the per-variant
+    # attribution weights: lane 0 counts newly (exact in f32 — counts
+    # stay far below 2^24), lanes 1..V carry contact×infectiousness
+    # weights per variant
+    c_s = jnp.where(exposer, k_s.astype(F32) * inf_base, 0.0)
+    lanes = [newly.astype(F32)] + [
+        jnp.where(variant == v, c_s, 0.0) for v in range(V)]
+    cums = jnp.cumsum(jnp.stack(lanes, axis=1), axis=0)      # (N, 1+V)
+    cum_newly = cums[:, 0]
+    cum_v_all = [cums[:, 1 + v] for v in range(V)]
+    n_new = cum_newly[-1].astype(I32)
     problem = jnp.where(n_new > Kcap,
                         problem | C.PROBLEM_INFECTION_BUFFER_OVERFLOW, problem)
 
     def compact_part(lo_slot: int, n_slots: int):
+        # cum_newly is exact-integer f32; compare against f32 queries
         slots = lo_slot + jnp.arange(n_slots, dtype=I32)
-        buf = searchsorted_fixed(cum_newly, slots + 1, side="left")
+        buf = searchsorted_fixed(cum_newly, (slots + 1).astype(F32),
+                                 side="left")
         used = slots < jnp.minimum(n_new, Kcap)
         return jnp.where(used, buf, N)
 
-    # the agent layout is age-sorted, so per-variant weights are already
-    # in age order — no N-permutation gather needed
-    c_s = jnp.where(exposer, k_s.astype(F32) * inf_base, 0.0)
-    cum_v_all = [jnp.cumsum(jnp.where(variant == v, c_s, 0.0))
-                 for v in range(V)]
+    # the agent layout is age-sorted, so per-variant weights (lanes of
+    # the fused cumulative pass above) are already in age order — no
+    # N-permutation gather needed
     C_av = jnp.sum(K_g * ig, axis=(2, 3))                        # (A, V)
     kappa_inc = 1.0 / (C.INCUBATION_CV ** 2)
     kappa_o2r = 1.0 / (C.ONSET_TO_REMOVED_CV ** 2)
@@ -911,7 +939,7 @@ def _exposures_by_place(key, K_g, q_hat):
     place distribution per source age is multinomial (main.pyx:1571)."""
     K_age = jnp.sum(K_g, axis=(1, 2, 3))                          # (A,)
     qp = jnp.sum(q_hat, axis=2)                                   # (A, P)
-    counts = _binomial_split(key, K_age, qp)                      # (A, P)
+    counts = _binomial_split_exact(key, K_age, qp)                # (A, P)
     return jnp.sum(counts, axis=0).astype(I32)
 
 

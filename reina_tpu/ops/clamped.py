@@ -34,24 +34,6 @@ from jax import lax
 _NEG = jnp.int32(-(1 << 30))
 
 
-def _masked_prefix(a, m, init):
-    """arriving_i (before position i's own event) and the final balance
-    for one masked segment, given per-position (a, m) with identities
-    (0, −∞) outside the segment. Arrays are (N,) or (N, L) — the
-    trailing axis batches independent ledgers into one scan pass."""
-    s_incl = jnp.cumsum(a, axis=0)
-    s_excl = s_incl - a
-    key = m - s_incl
-    run_max = lax.cummax(key, axis=0)
-    # exclusive shift: positions see the max of keys strictly before them
-    pad = jnp.full((1,) + a.shape[1:], _NEG, jnp.int32)
-    run_max_excl = jnp.concatenate([pad, run_max[:-1]], axis=0)
-    arriving = s_excl + jnp.maximum(init, run_max_excl)
-    final = s_incl[-1] + jnp.maximum(init, run_max[-1]) \
-        if a.shape[0] else init
-    return arriving, final
-
-
 def clamped_counter_grants(releases, requests, init, offset):
     """Grant/deny requests against a clamped counter in cyclic sweep order.
 
@@ -67,6 +49,12 @@ def clamped_counter_grants(releases, requests, init, offset):
     ICU units) in ONE pair of cumulative passes; the sweep offset is
     shared.
 
+    Both wrap segments ([offset, N) then [0, offset)) ride the same
+    cumsum/cummax pass as extra lanes: the only cross-segment coupling
+    is segment b's initial balance (segment a's final), and the init
+    enters the closed form elementwise AFTER the cumulative passes —
+    so one (N, 2·L) pass pair replaces two sequential (N, L) pairs.
+
     Returns:
       granted: (N,) or (N, L) bool — request approved (counter was > 0
         on arrival, counting the position's own release first).
@@ -75,23 +63,40 @@ def clamped_counter_grants(releases, requests, init, offset):
     n = releases.shape[0]
     releases = releases.astype(jnp.int32)
     init = jnp.asarray(init, jnp.int32)
+    squeeze = releases.ndim == 1
+    if squeeze:
+        releases = releases[:, None]
+        requests = requests[:, None]
+        init = init.reshape(init.shape or (1,)) if init.ndim == 0 \
+            else init[..., None]
+    L = releases.shape[1]
 
     a = releases - requests.astype(jnp.int32)
     m = jnp.where(requests, 0, _NEG)
 
-    idx = jnp.arange(n, dtype=jnp.int32)
-    if a.ndim == 2:
-        idx = idx[:, None]
+    idx = jnp.arange(n, dtype=jnp.int32)[:, None]
     in_a = idx >= offset
 
-    a_seg_a = jnp.where(in_a, a, 0)
-    m_seg_a = jnp.where(in_a, m, _NEG)
-    arriving_a, final_a = _masked_prefix(a_seg_a, m_seg_a, init)
+    # lanes [0:L] = segment a (positions >= offset), [L:2L] = segment b
+    a2 = jnp.concatenate([jnp.where(in_a, a, 0), jnp.where(in_a, 0, a)],
+                         axis=1)
+    m2 = jnp.concatenate([jnp.where(in_a, m, _NEG),
+                          jnp.where(in_a, _NEG, m)], axis=1)
 
-    a_seg_b = jnp.where(in_a, 0, a)
-    m_seg_b = jnp.where(in_a, _NEG, m)
-    arriving_b, final_b = _masked_prefix(a_seg_b, m_seg_b, final_a)
+    s_incl = jnp.cumsum(a2, axis=0)
+    s_excl = s_incl - a2
+    key = m2 - s_incl
+    run_max = lax.cummax(key, axis=0)
+    pad = jnp.full((1, 2 * L), _NEG, jnp.int32)
+    run_max_excl = jnp.concatenate([pad, run_max[:-1]], axis=0)
+
+    final_a = s_incl[-1, :L] + jnp.maximum(init, run_max[-1, :L])
+    arriving_a = s_excl[:, :L] + jnp.maximum(init, run_max_excl[:, :L])
+    arriving_b = s_excl[:, L:] + jnp.maximum(final_a, run_max_excl[:, L:])
+    final_b = s_incl[-1, L:] + jnp.maximum(final_a, run_max[-1, L:])
 
     arriving = jnp.where(in_a, arriving_a, arriving_b)
     granted = requests & ((arriving + releases) > 0)
+    if squeeze:
+        return granted[:, 0], final_b[0]
     return granted, final_b

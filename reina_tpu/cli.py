@@ -117,7 +117,9 @@ def main(argv=None):
     p = sub.add_parser("monte-carlo", help="vmapped Monte-Carlo ensemble")
     p.add_argument("--scenario", default="default")
     p.add_argument("--runs", type=int, default=1000)
-    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--batch-size", type=int, default=1,
+                   help="vmapped seed batch; 1 = sequential fast path "
+                        "(12x faster per seed on one chip)")
     p.set_defaults(func=cmd_monte_carlo)
 
     p = sub.add_parser(

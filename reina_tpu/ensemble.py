@@ -1,10 +1,20 @@
-"""Monte-Carlo ensembles: ``vmap`` over seeds on a device mesh.
+"""Monte-Carlo ensembles over seeds.
 
 Replaces the reference's 8-process ``multiprocessing.Pool.map`` over
-1000 seeds (calc/simulation.py:349-385). A batch of seeds runs as one
-XLA program — the agent state gains a leading seed axis that is sharded
-over the mesh's 'seed' dimension, so an N-chip pod runs N× the seeds of
-one chip at the same wall-clock.
+1000 seeds (calc/simulation.py:349-385).
+
+Execution strategy (measured, tools/bench_ensemble.py on the v5e):
+single-chip seed sweeps run SEQUENTIALLY through the one compiled
+single-run program — at HUS scale that is ~20 ms/day/seed, i.e. a
+1000-seed 364-day ensemble in ~2 h/chip. The ``vmap``-batched program
+costs ~200 ms/day/seed at S=8 (12× worse: batching the engine's
+gather/scatter streams and the (N, groups) one-hot matmul operands
+multiplies the scalar-pipeline work and HBM-resident intermediates by
+S, and S=32 exhausts HBM outright), so vmap batching is NOT a win
+within one chip — it exists for mesh runs, where the 'seed' axis
+shards members across chips and each chip executes its own slice.
+Scaling across chips is otherwise process-per-chip (init_distributed,
+parallel/mesh.py) with each process running the sequential path.
 """
 from __future__ import annotations
 
@@ -45,11 +55,17 @@ def _ensemble_scan(cfg, arrays, schedules, state, carry, keys):
 
 
 def run_ensemble(run: CompiledRun, seeds: List[int],
-                 batch_size: int = 16, mesh=None,
+                 batch_size: int = 1, mesh=None,
                  n_days: Optional[int] = None):
-    """Run ``seeds`` in vmapped batches; returns DayOutputs stacked with
-    a leading (n_seeds, days-1) shape (day-0 snapshot omitted — it is
-    identical across seeds)."""
+    """Run ``seeds``; returns DayOutputs stacked with a leading
+    (n_seeds, days-1) shape (day-0 snapshot omitted — it is identical
+    across seeds).
+
+    ``batch_size=1`` (the default) executes seeds sequentially through
+    the compiled single-run program — the fastest single-chip strategy
+    by a measured 12× (see module docstring). Larger batches vmap seeds
+    into one program; use them only with a mesh whose 'seed' axis
+    shards the batch across chips."""
     results = []
     placement = None
     if mesh is not None:
@@ -62,10 +78,9 @@ def run_ensemble(run: CompiledRun, seeds: List[int],
     for i in range(0, len(seeds), batch_size):
         chunk = seeds[i:i + batch_size]
         if len(chunk) == 1 and mesh is None:
-            # vmapped gathers/scatters cost ~2x per seed on TPU
-            # (tools/: S=1 vmap 107 ms/day vs 52 plain) — run singles
-            # through the plain scan path (mesh runs keep the vmapped
-            # path so placement stays uniform across chunks)
+            # sequential fast path: reuse the single-run program
+            # (mesh runs keep the vmapped path so placement stays
+            # uniform across chunks)
             from .core.engine import run_days
             out1, _st, _cr, _t = run_days(run, n_days=steps + 1,
                                           seed=chunk[0])
@@ -85,7 +100,7 @@ def run_ensemble(run: CompiledRun, seeds: List[int],
 
 
 def run_monte_carlo(scenario_name: str = "default", n_runs: int = 1000,
-                    batch_size: int = 16, mesh=None,
+                    batch_size: int = 1, mesh=None,
                     variables: Optional[Dict] = None,
                     csv_path: Optional[str] = None):
     """Seed sweep for a scenario; returns the concatenated daily frame

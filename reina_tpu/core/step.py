@@ -36,6 +36,7 @@ from . import constants as C
 from .state import AgentState, DayCarry
 from ..ops.clamped import clamped_counter_grants
 from ..ops.compact import compact_indices
+from ..ops.fusedmap import fused_map
 from ..ops.random import binomial_fixed, gamma_fixed, searchsorted_fixed
 
 I32 = jnp.int32
@@ -265,6 +266,222 @@ def _group_counts(arrays: ModelArrays, masks):
     return counts[:, :-1].astype(I32)
 
 
+def _tab(table2, idx, v_count):
+    """Select table2[0, idx] per agent via unrolled variant selects
+    (table2 is a (1, V) small array — works identically inside a
+    Pallas kernel block and in the XLA fallback)."""
+    acc = jnp.full(idx.shape, table2[0, 0], table2.dtype)
+    for v in range(1, v_count):
+        acc = jnp.where(idx == v, table2[0, v], acc)
+    return acc
+
+
+def _phase4_prologue(st8, dl, doil, doi, sev8, var8, wdet, isinf, act,
+                     z, nc_ag, iot2, asym2, infm2, day2):
+    """Exposure-phase per-agent prep: infectiousness-over-time lookup,
+    exposer gating, lognormal contact counts (main.pyx:895-953,
+    1306-1320). Pure elementwise (the iot lookup is an unrolled
+    (variant, day) select over the small table) — ONE fused pass."""
+    st = st8.astype(I32)
+    sev = sev8.astype(I32)
+    var = var8.astype(I32)
+    V, T = iot2.shape
+    day = day2[0, 0]
+
+    day_rel = jnp.where(st == C.INCUBATION, -dl.astype(I32),
+                        doil.astype(I32))
+    iot_idx = day_rel + C.IOT_OFFSET
+    iot_ok = (iot_idx >= 0) & (iot_idx < T)
+    iot_idx_c = jnp.clip(iot_idx, 0, T - 1)
+    can_expose = (((st == C.INCUBATION) & (doi.astype(I32) < day))
+                  | (st == C.ILLNESS))
+    asympt = sev == C.ASYMPTOMATIC
+
+    iot_val = jnp.zeros(st.shape, F32)
+    for v in range(V):
+        for t in range(T):
+            iot_val = jnp.where((var == v) & (iot_idx_c == t),
+                                iot2[v, t], iot_val)
+    inf_base = (iot_val
+                * jnp.where(asympt, _tab(asym2, var, V), 1.0)
+                * _tab(infm2, var, V))
+    exposer = can_expose & iot_ok & act & ~wdet & isinf
+    inf_base = jnp.where(exposer, inf_base, 0.0)
+    exposer = inf_base > 0
+
+    sympt_ill = (st == C.ILLNESS) & ~asympt
+    factor = jnp.where(sympt_ill, C.SYMPTOMATIC_CONTACT_FACTOR, 1.0)
+    limit = jnp.where(sympt_ill, C.SYMPTOMATIC_CONTACT_LIMIT,
+                      C.DEFAULT_CONTACT_LIMIT)
+    f = jnp.exp(C.CONTACT_LOGNORMAL_SIGMA * z) * nc_ag * factor
+    f = jnp.maximum(f, 1.0)
+    k_s = jnp.clip(jnp.floor(f).astype(I32) - 1, 0, limit)
+    k_s = jnp.where(exposer, k_s, 0)
+
+    vts = (var * T + iot_idx_c) * 2 + asympt.astype(I32)
+    return exposer, inf_base, k_s, vts
+
+
+def _make_receiver_body(v_count, n_bands):
+    """Exposure receiver side: per-band dart totals → per-agent hit
+    intensity, infection draw and variant pick (ONE fused pass)."""
+    def body(band, *rest):
+        lams = rest[:v_count]
+        isinf, hasimm, act, u_inf, u_var = rest[v_count:v_count + 5]
+        D2 = rest[v_count + 5]
+        hs = []
+        for v in range(v_count):
+            d_ag = jnp.zeros(band.shape, F32)
+            for b in range(n_bands):
+                d_ag = jnp.where(band == b, D2[v, b], d_ag)
+            # 1 − exp(x) instead of −expm1(x): expm1 has no Pallas TPU
+            # lowering; at the smallest nonzero intensity (one dart,
+            # λ ≈ −1e-5) the f32 error is ~1e-3 relative — far below
+            # the sampling noise of the infection draw it feeds
+            hs.append(1.0 - jnp.exp(d_ag * lams[v]))
+        one_minus = 1.0
+        h_sum = 0.0
+        for h_v in hs:
+            one_minus = one_minus * (1.0 - h_v)
+            h_sum = h_sum + h_v
+        p_inf = 1.0 - one_minus
+        susceptible = act & ~isinf & ~hasimm
+        new_contact = susceptible & (u_inf < p_inf)
+        u = u_var * jnp.maximum(h_sum, 1e-30)
+        run = jnp.zeros(band.shape, F32)
+        nv = jnp.zeros(band.shape, I32)
+        for h_v in hs[:-1]:
+            run = run + h_v
+            nv = nv + (u >= run).astype(I32)
+        nv = jnp.clip(nv, 0, v_count - 1)
+        return new_contact, nv, susceptible
+    return body
+
+
+def _phase5_front(st8, doi, isinf, act, dl, o2r, sev8, wdet, dout, doil,
+                  u, var8, rbt, rwt, scal_i, dap2):
+    """Progression pre-ledger: advance counters, fire transitions,
+    symptom-onset testing seeks and capacity requests
+    (person_advance/person_become_ill, main.pyx:284-440). Pure
+    elementwise — runs as ONE fused pass via ops.fusedmap."""
+    st = st8.astype(I32)
+    sev = sev8.astype(I32)
+    var = var8.astype(I32)
+    # 16-bit vector arithmetic (maxsi etc.) does not legalize in Mosaic
+    # — compute in i32 and cast back at the stores
+    dl = dl.astype(I32)
+    doil = doil.astype(I32)
+    V = rbt.shape[1]
+    day = scal_i[0, 0]
+    mode = scal_i[0, 1]
+    dap = dap2[0, 0]
+
+    adv_inc = (st == C.INCUBATION) & (doi.astype(I32) < day) & isinf & act
+    adv_ill = (st == C.ILLNESS) & isinf & act
+    adv_hosp = (st == C.HOSPITALIZED) & isinf & act
+    adv_icu = (st == C.IN_ICU) & isinf & act
+    adv_any = adv_inc | adv_ill | adv_hosp | adv_icu
+    dl_new = jnp.where(adv_any, jnp.maximum(dl - 1, 0), dl)
+    fire = adv_any & (dl_new == 0)
+
+    rb = _tab(rbt, var, V)
+    onset = adv_inc & fire
+    illness_days = _round_to_int(
+        o2r * jnp.where(sev >= C.SEVERE, rb, 1.0)).astype(I32)
+    dl_a = jnp.where(onset, illness_days, dl_new).astype(jnp.int16)
+
+    asympt = sev == C.ASYMPTOMATIC
+    seek = onset & ~asympt & ~wdet
+    queue_new = seek & (
+        (mode == C.TESTING_ALL_WITH_SYMPTOMS)
+        | (mode == C.TESTING_ALL_WITH_SYMPTOMS_CT)
+        | ((mode == C.TESTING_ONLY_SEVERE_SYMPTOMS)
+           & ((sev >= C.SEVERE) | (u < dap))))
+
+    ill_end = adv_ill & fire
+    die_home = ill_end & (sev == C.FATAL) & dout
+    bed_request = ill_end & (sev >= C.SEVERE) & ~die_home
+    recover_ill = ill_end & ~die_home & ~bed_request
+    doil_new = jnp.where(adv_ill, doil + 1, doil).astype(jnp.int16)
+    # (doil already widened to i32 above)
+
+    hosp_end = adv_hosp & fire
+    icu_request = hosp_end & (sev >= C.CRITICAL)
+    hosp_recover = hosp_end & ~icu_request
+
+    icu_end = adv_icu & fire
+    icu_die = icu_end & (sev == C.FATAL)
+    icu_recover = icu_end & ~icu_die
+
+    return (dl_a, doil_new, onset, queue_new, die_home, bed_request,
+            recover_ill, hosp_end, icu_request, hosp_recover, icu_end,
+            icu_die, icu_recover)
+
+
+def _phase5_post(st8, sev8, var8, o2r, dl_a, gbed, gicu, u, bed_request,
+                 icu_request, die_home, recover_ill, hosp_recover,
+                 icu_die, icu_recover, wdet, isinf, hasimm, evericu,
+                 onset, rbt, rwt, picut, phospt):
+    """Progression post-ledger: apply bed/ICU grants, denied-care death
+    draws, hospitalization detection and the final state transition
+    (person_hospitalize/transfer_to_icu/release, main.pyx:321-370).
+    The same ``u`` serves the bed- and ICU-denial draws: an agent ends
+    illness OR ends a ward stay on a given day, never both, so the
+    uses are disjoint per agent-day. Pure elementwise — ONE fused
+    pass via ops.fusedmap."""
+    st = st8.astype(I32)
+    sev = sev8.astype(I32)
+    var = var8.astype(I32)
+    dl_a = dl_a.astype(I32)   # i16 vector arithmetic trips Mosaic
+    V = rbt.shape[1]
+    rb = _tab(rbt, var, V)
+    rw = _tab(rwt, var, V)
+
+    bed_denied = bed_request & ~gbed
+    die_chance = jnp.where(
+        sev == C.FATAL, 1.0,
+        jnp.where(sev == C.CRITICAL, _tab(picut, var, V),
+                  _tab(phospt, var, V)))
+    denied_die = bed_denied & (u < die_chance)
+    denied_recover = bed_denied & ~denied_die
+    hospitalized_now = bed_request & gbed
+    hosp_days = _round_to_int(
+        o2r * jnp.where(sev == C.SEVERE, 1.0 - rb, rw)).astype(I32)
+
+    icu_denied = icu_request & ~gicu
+    icu_die_chance = jnp.where(sev == C.FATAL, 1.0, _tab(picut, var, V))
+    icu_denied_die = icu_denied & (u < icu_die_chance)
+    # ICU-denied survivors still enter IN_ICU without claiming a unit —
+    # faithful to person_transfer_to_icu (main.pyx:341-351)
+    icu_enter = (icu_request & gicu) | (icu_denied & ~icu_denied_die)
+    icu_days = _round_to_int(o2r * (1.0 - rw - rb)).astype(I32)
+
+    detect_hosp = bed_request & ~wdet
+    wdet_out = wdet | bed_request
+
+    dies = die_home | denied_die | icu_denied_die | icu_die
+    recovers = (recover_ill | denied_recover | hosp_recover
+                | icu_recover)
+
+    new_st = st
+    new_st = jnp.where(onset, C.ILLNESS, new_st)
+    new_st = jnp.where(hospitalized_now, C.HOSPITALIZED, new_st)
+    new_st = jnp.where(icu_enter, C.IN_ICU, new_st)
+    new_st = jnp.where(recovers, C.RECOVERED, new_st)
+    new_st = jnp.where(dies, C.DEAD, new_st)
+
+    days_left = dl_a
+    days_left = jnp.where(hospitalized_now, hosp_days, days_left)
+    days_left = jnp.where(icu_enter, icu_days, days_left)
+
+    isinf_out = isinf & ~(dies | recovers)
+    hasimm_out = hasimm | ((dies | recovers) & isinf)
+    evericu_out = evericu | icu_enter
+
+    return (new_st.astype(jnp.int8), days_left.astype(jnp.int16),
+            isinf_out, hasimm_out, evericu_out, wdet_out, detect_hosp)
+
+
 # Row index of each population attribute in DayOutputs.by_group —
 # the single source of truth for every consumer (simulation driver,
 # calibration scoring, tests). Must match the masks list in phase 7.
@@ -337,67 +554,136 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     edge_src, edge_dst, edge_n = carry.edge_src, carry.edge_dst, carry.edge_n
 
     def do_tracing(queued):
-        def edge_hits(src_ok, key):
-            """Per-edge Bernoulli(trace_p) over the infectee edge table
-            for edges whose source is an eligible traced source; returns
-            the hit mask over infectees. The table is scanned in
-            geometric tiers under lax.cond so the cost tracks the live
-            edge count, not the table capacity."""
+        """2-level contact-tracing BFS (perform_contact_tracing,
+        main.pyx:495-512) with ONE N-compaction total.
+
+        A candidate is queued iff ANY of its edges succeeds a
+        Bernoulli(trace_p) draw — per-edge draws are exactly the
+        reference's first-edge-wins queueing (P = 1 − (1−p)^n).
+        Infectee edges come from the edge table (appended at infection
+        when contact tracing was active, exactly the reference's
+        per-source lists, main.pyx:219-223; removed sources never fire
+        because ``src_ok`` requires the source to still be infected —
+        the reference frees lists on removal, main.pyx:301-307).
+        Infector links come straight from the infector array (they
+        survive the source's removal, like the reference's persistent
+        ``infector`` field).
+
+        Level-2 recursion is folded INTO level 1's edge passes: any
+        level-1 hit target t is queued iff it is eligible (eligibility
+        is static within the morning drain — the reference checks the
+        same dead/detected/queued flags it started the drain with), and
+        a queued t immediately attempts to queue ITS infector. That
+        attempt's Bernoulli draw is keyed per-MEMBER (one (N,) uniform
+        table, indexed by t), so a t reached through several edges
+        draws the same value — exactly one recursion attempt per queued
+        member, as in the reference — without compacting the level-1
+        frontier. Level-2 infectee edges run one more edge-table pass
+        with the level-1 frontier as a mask. The old formulation
+        compacted the frontier (an N-cumsum plus a 21-round bisect per
+        level); this one only compacts the drained queue."""
+        eligible = active & ~is_dead & ~was_detected & ~queued
+        k1, k_mem, k_e1, k_e2 = jr.split(k_trace1, 4)
+        # per-member level-2 infector-attempt draws (same draw no matter
+        # how many edges reached the member)
+        u_mem = jr.uniform(k_mem, (N,), F32)
+        infector = state.infector
+        # pre-fold the whole level-2 attempt into ONE per-agent table:
+        # r2_tab[t] = t's infector if t would recurse when queued, else
+        # the drop sentinel. Edge streams then pay a single r2_tab
+        # gather where the inline form cost three (eligible, u_mem,
+        # infector) — gathers are the scalar-pipeline bound here.
+        r2_tab = jnp.where(eligible & (u_mem < sched.trace_p)
+                           & (infector >= 0), infector, N)
+        r2_tab = jnp.concatenate([r2_tab, jnp.full((1,), N, I32)])
+
+        def recurse_targets(tgt, hit_ok):
+            """Level-2 infector candidates for level-1 hits ``tgt``
+            (buffer-sized): queued iff eligible, then Bernoulli via the
+            member-keyed table, targeting their infector."""
+            return jnp.where(hit_ok, r2_tab[jnp.minimum(tgt, N)], N)
+
+        def edge_passes(src_ok, key, with_recurse):
+            """Geometric-tier pass over the edge table: hit mask plus
+            (optionally) inline level-2 infector candidates."""
             hit = jnp.zeros(N + 1, bool)
+            hit_r2 = jnp.zeros(N + 1, bool)
             lo, part = 0, 0
             while lo < E:
                 seg = Eh if lo == 0 else min(lo * 3, E) - lo
 
-                def tier(hit, lo=lo, seg=seg, part=part):
+                def tier(carry, lo=lo, seg=seg, part=part):
+                    hit, hit_r2 = carry
                     src_seg = jax.lax.slice_in_dim(edge_src, lo, lo + seg)
                     dst_seg = jax.lax.slice_in_dim(edge_dst, lo, lo + seg)
                     valid = (lo + jnp.arange(seg, dtype=I32)) < edge_n
                     u = jr.uniform(jr.fold_in(key, part), (seg,), F32)
                     fire = (valid & (src_seg < N) & (u < sched.trace_p)
                             & src_ok[jnp.clip(src_seg, 0, N - 1)])
-                    return hit.at[jnp.where(fire, dst_seg, N)].set(True)
+                    hit = hit.at[jnp.where(fire, dst_seg, N)].set(True)
+                    if with_recurse:
+                        t2 = recurse_targets(
+                            jnp.where(fire, dst_seg, N), fire)
+                        hit_r2 = hit_r2.at[t2].set(True)
+                    return hit, hit_r2
 
                 if lo == 0:
-                    hit = tier(hit)
+                    hit, hit_r2 = tier((hit, hit_r2))
                 else:
-                    hit = jax.lax.cond(edge_n > lo, tier, lambda h: h, hit)
+                    hit, hit_r2 = jax.lax.cond(
+                        edge_n > lo, tier, lambda c: c, (hit, hit_r2))
                 lo += seg
                 part += 1
-            return hit[:N]
+            return hit[:N], hit_r2[:N]
 
-        def trace_round(src_buf, n_src, src_mask, queued, k):
-            """One BFS level over a COMPACT source buffer. A candidate
-            is queued iff ANY of its edges succeeds a Bernoulli(trace_p)
-            draw — per-edge draws are exactly the reference's
-            first-edge-wins queueing (P = 1 − (1−p)^n). Edges from
-            sources to their infector run on the compact buffer (draws,
-            infector lookups and scatters are all buffer-sized);
-            infectee edges come from the edge table (appended at
-            infection when contact tracing was active, exactly the
-            reference's per-source lists, main.pyx:219-223; removed
-            sources never fire because ``src_ok`` requires the source
-            to still be infected — the reference frees lists on
-            removal, main.pyx:301-307)."""
-            k1, k2 = jr.split(k)
-            # (i) source → infector edges, per-edge success on the source side
-            used = src_buf < N
-            inf_s = state.infector[jnp.clip(src_buf, 0, N - 1)]
-            u1 = jr.uniform(k1, src_buf.shape, F32)
+        # ---- level 1 (sources: the drained queue, compacted once) ----
+        # the queue is usually far smaller than the Tcap buffer, so the
+        # infector draws/gathers/scatters run in geometric tiers that
+        # track the actual drain size (like the compaction itself)
+        dbuf, n_d = compact_indices(drained & active, Tcap)
+        Th = min(cfg.infection_head, Tcap)
+
+        def l1_part(carry, lo, seg, part):
+            hit1, hit_r2a = carry
+            seg_buf = jax.lax.slice_in_dim(dbuf, lo, lo + seg)
+            used = seg_buf < N
+            bp = jnp.clip(seg_buf, 0, N - 1)
+            inf_s = infector[bp]
+            u1 = jr.uniform(jr.fold_in(k1, part), (seg,), F32)
             succ = used & (inf_s >= 0) & (u1 < sched.trace_p)
             tgt = jnp.where(succ, inf_s, N)
-            hit1 = jnp.zeros(N + 1, bool).at[tgt].set(True)[:N]
-            # (ii) infectee edges from the edge table
-            src_ok = src_mask & state.is_infected
-            hit2 = edge_hits(src_ok, k2)
-            eligible = active & ~is_dead & ~was_detected & ~queued
-            newq = eligible & (hit1 | hit2)
-            return queued | newq, newq, n_src > Tcap
+            hit1 = hit1.at[tgt].set(True)
+            t2a = recurse_targets(tgt, succ)
+            hit_r2a = hit_r2a.at[t2a].set(True)
+            return hit1, hit_r2a
 
-        dbuf, n_d = compact_indices(drained & active, Tcap)
-        q1, s1, ov1 = trace_round(dbuf, n_d, drained, queued, k_trace1)
-        sbuf, n_s = compact_indices(s1, Tcap)
-        q2, _s2, ov2 = trace_round(sbuf, n_s, s1, q1, k_trace2)
-        return q2, ov1 | ov2
+        hit1 = jnp.zeros(N + 1, bool)
+        hit_r2a = jnp.zeros(N + 1, bool)
+        hit1, hit_r2a = l1_part((hit1, hit_r2a), 0, Th, 0)
+        lo, part = Th, 1
+        while lo < Tcap:
+            seg = min(lo * 3, Tcap) - lo
+            hit1, hit_r2a = jax.lax.cond(
+                n_d > lo,
+                lambda c, lo=lo, seg=seg, part=part: l1_part(c, lo, seg, part),
+                lambda c: c, (hit1, hit_r2a))
+            lo += seg
+            part += 1
+        hit1, hit_r2a = hit1[:N], hit_r2a[:N]
+        # level-1 infectee edges (+ inline level-2 infector candidates)
+        src_ok1 = drained & state.is_infected
+        hit2, hit_r2b = edge_passes(src_ok1, k_e1, with_recurse=True)
+
+        newq1 = eligible & (hit1 | hit2)
+
+        # ---- level 2 ----
+        # infectee edges of the level-1 frontier (mask-based — no
+        # compaction); infector attempts were folded in above
+        src_ok2 = newq1 & state.is_infected
+        hit2_l2, _ = edge_passes(src_ok2, k_e2, with_recurse=False)
+        newq2 = eligible & ~newq1 & (hit_r2a | hit_r2b | hit2_l2)
+
+        return queued | newq1 | newq2, n_d > Tcap
 
     # the BFS only runs on days with contact tracing active and a
     # non-empty test queue — its scatter/gather ops are the step's most
@@ -436,42 +722,20 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         dov = jnp.where(take, day.astype(jnp.int16), dov)
 
     # ---- phase 4: exposure --------------------------------------------
-    day_rel = jnp.where(st == C.INCUBATION, -state.days_left.astype(I32),
-                        state.day_of_illness.astype(I32))
-    iot_idx = day_rel + C.IOT_OFFSET
-    iot_ok = (iot_idx >= 0) & (iot_idx < C.IOT_LEN)
-    iot_idx_c = jnp.clip(iot_idx, 0, C.IOT_LEN - 1)
-    can_expose = (((st == C.INCUBATION) & (state.day_of_infection.astype(I32) < day))
-                  | (st == C.ILLNESS))
-    asympt = sev == C.ASYMPTOMATIC
-    # iot[variant, iot_idx] without gathers: unrolled (t, v) selects
-    iot_val = jnp.zeros(N, F32)
-    for t in range(C.IOT_LEN):
-        row = _vsel(arrays.iot[:, t], variant, V)
-        iot_val = jnp.where(iot_idx_c == t, row, iot_val)
-    inf_base = (iot_val
-                * jnp.where(asympt, _vsel(arrays.asymp_mult, variant, V), 1.0)
-                * _vsel(arrays.inf_mult, variant, V))
-    exposer = can_expose & iot_ok & active & ~was_detected & state.is_infected
-    inf_base = jnp.where(exposer, inf_base, 0.0)
-    exposer = inf_base > 0
-
-    # contact counts: lognormal(0, 0.5) × age mean × restriction factor
-    # (main.pyx:1306-1320); symptomatic ill agents halve contacts and
-    # cap at 5 (main.pyx:949-953)
+    # contact tensor scaling (small (A, P, B) work stays XLA)
     q = arrays.contact_base * sched.mobility[:, :, None]        # (A, P, B)
     nc_a = jnp.sum(q, axis=(1, 2))                              # (A,)
     q_hat = q / jnp.maximum(nc_a, 1e-9)[:, None, None]
-    sympt_ill = (st == C.ILLNESS) & ~asympt
-    factor = jnp.where(sympt_ill, C.SYMPTOMATIC_CONTACT_FACTOR, 1.0)
-    limit = jnp.where(sympt_ill, C.SYMPTOMATIC_CONTACT_LIMIT,
-                      C.DEFAULT_CONTACT_LIMIT)
     z = jr.normal(k_contact, (N,), F32)
     nc_ag = expand_by_age(arrays, nc_a)
-    f = jnp.exp(C.CONTACT_LOGNORMAL_SIGMA * z) * nc_ag * factor
-    f = jnp.maximum(f, 1.0)
-    k_s = jnp.clip(jnp.floor(f).astype(I32) - 1, 0, limit)
-    k_s = jnp.where(exposer, k_s, 0)
+    # iot lookup + exposer gating + contact counts: ONE fused pass
+    # (main.pyx:895-953, 1306-1320)
+    exposer, inf_base, k_s, vts = fused_map(
+        _phase4_prologue, 4,
+        [state.state, state.days_left, state.day_of_illness,
+         state.day_of_infection, state.severity, state.variant,
+         was_detected, state.is_infected, active, z, nc_ag],
+        [arrays.iot, arrays.asymp_mult, arrays.inf_mult, day])
     exposed_per_day = jnp.sum(k_s, dtype=I32)
 
     # mask protection per (variant, age, place): p(either mask saves)
@@ -491,7 +755,6 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     # (vts-onehot ⊙ k)ᵀ @ age-onehot — a scatter-add op costs ~15 ms
     # in this program, the matmul ~0.5 ms. Exact: k ≤ 128 and one-hots
     # are 0/1, both exact in bf16; accumulation in f32.
-    vts = (variant * C.IOT_LEN + iot_idx_c) * 2 + asympt.astype(I32)
     VTS = V * C.IOT_LEN * 2
     vts_onehot = (vts[:, None] ==
                   jnp.arange(VTS, dtype=I32)[None, :]) & exposer[:, None]
@@ -515,69 +778,36 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     # accepted with σ(age)/σmax — thinning makes the per-target hit
     # count Binomial(D, σ/(σmax·N_band)); infection = at least one hit.
     # D[v, band] expands per-agent with band selects; log1p(−λ) is a
-    # static per-agent table.
+    # static per-agent table. ONE fused pass (ops.fusedmap).
     band_t = arrays.band_ag                                      # (N,)
-    h = []
-    for v in range(V):
-        d_ag = jnp.zeros(N, F32)
-        for b in range(B):
-            d_ag = jnp.where(band_t == b, D[v, b], d_ag)
-        h_v = -jnp.expm1(d_ag * arrays.lam_log1p_ag[v])
-        h.append(h_v)
-    h = jnp.stack(h)                                             # (V, N)
-    p_inf = 1.0 - jnp.prod(1.0 - h, axis=0)
-    susceptible = active & ~state.is_infected & ~state.has_immunity
     u_inf = jr.uniform(k_inf, (N,), F32)
-    new_contact = susceptible & (u_inf < p_inf)
-
-    h_sum = jnp.sum(h, axis=0)
-    u_var = jr.uniform(k_var, (N,), F32) * jnp.maximum(h_sum, 1e-30)
-    cum_h = jnp.cumsum(h, axis=0)
-    new_variant = jnp.sum(u_var >= cum_h, axis=0, dtype=I32)
-    new_variant = jnp.clip(new_variant, 0, V - 1)
+    u_var = jr.uniform(k_var, (N,), F32)
+    new_contact, new_variant, susceptible = fused_map(
+        _make_receiver_body(V, B), 3,
+        [band_t] + [arrays.lam_log1p_ag[v] for v in range(V)]
+        + [state.is_infected, state.has_immunity, active, u_inf, u_var],
+        [D])
 
     # ---- phase 5: progression + capacity rationing ---------------------
-    adv_inc = (st == C.INCUBATION) & (state.day_of_infection.astype(I32) < day) \
-        & state.is_infected & active
-    adv_ill = (st == C.ILLNESS) & state.is_infected & active
-    adv_hosp = (st == C.HOSPITALIZED) & state.is_infected & active
-    adv_icu = (st == C.IN_ICU) & state.is_infected & active
-    adv_any = adv_inc | adv_ill | adv_hosp | adv_icu
-    dl = state.days_left
-    dl_new = jnp.where(adv_any, jnp.maximum(dl - 1, 0), dl)
-    fire = adv_any & (dl_new == 0)
-
+    # everything elementwise runs as TWO single-launch fused passes (one
+    # per ledger side), sandwiching the global clamped-counter scan; the
+    # ONE uniform array serves the onset-seek, bed-denial and ICU-denial
+    # draws (disjoint per agent-day — an agent fires at most one of
+    # those transitions per day)
     o2r = state.o2r
-    rb = _vsel(arrays.ratio_before_hosp, variant, V)
-    rw = _vsel(arrays.ratio_in_ward, variant, V)
+    u_day = jr.uniform(k_anyway, (N,), F32)
+    scal_i = jnp.stack([day, sched.testing_mode.astype(I32)])
 
-    onset = adv_inc & fire
-    illness_days = _round_to_int(o2r * jnp.where(sev >= C.SEVERE, rb, 1.0))
-
-    mode = sched.testing_mode
-    u_anyway = jr.uniform(k_anyway, (N,), F32)
-    seek = onset & ~asympt & ~was_detected
-    queue_new = seek & (
-        (mode == C.TESTING_ALL_WITH_SYMPTOMS)
-        | (mode == C.TESTING_ALL_WITH_SYMPTOMS_CT)
-        | ((mode == C.TESTING_ONLY_SEVERE_SYMPTOMS)
-           & ((sev >= C.SEVERE) | (u_anyway < sched.detect_anyway_p))))
+    (dl_a, day_of_illness, onset, queue_new, die_home, bed_request,
+     recover_ill, hosp_end, icu_request, hosp_recover, icu_end,
+     icu_die, icu_recover) = fused_map(
+        _phase5_front, 13,
+        [state.state, state.day_of_infection, state.is_infected, active,
+         state.days_left, o2r, state.severity, was_detected,
+         state.death_outside, state.day_of_illness, u_day, state.variant],
+        [arrays.ratio_before_hosp, arrays.ratio_in_ward, scal_i,
+         sched.detect_anyway_p])
     queued = queued | queue_new
-
-    ill_end = adv_ill & fire
-    die_home = ill_end & (sev == C.FATAL) & state.death_outside
-    bed_request = ill_end & (sev >= C.SEVERE) & ~die_home
-    recover_ill = ill_end & ~die_home & ~bed_request
-    day_of_illness = jnp.where(adv_ill, state.day_of_illness + 1,
-                               state.day_of_illness)
-
-    hosp_end = adv_hosp & fire
-    icu_request = hosp_end & (sev >= C.CRITICAL)
-    hosp_recover = hosp_end & ~icu_request
-
-    icu_end = adv_icu & fire
-    icu_die = icu_end & (sev == C.FATAL)
-    icu_recover = icu_end & ~icu_die
 
     offset = jr.randint(k_offset, (), 0, N)
     # both ledgers (beds, ICU) ride one pair of cumulative passes
@@ -588,51 +818,18 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     granted_bed, granted_icu = granted2[:, 0], granted2[:, 1]
     beds_after, icu_after = after2[0], after2[1]
 
-    u1 = jr.uniform(k_nocare1, (N,), F32)
-    bed_denied = bed_request & ~granted_bed
-    die_chance = jnp.where(
-        sev == C.FATAL, 1.0,
-        jnp.where(sev == C.CRITICAL,
-                  _vsel(arrays.p_icu_death_no_beds, variant, V),
-                  _vsel(arrays.p_hosp_death_no_beds, variant, V)))
-    denied_die = bed_denied & (u1 < die_chance)
-    denied_recover = bed_denied & ~denied_die
-    hospitalized_now = bed_request & granted_bed
-    hosp_days = _round_to_int(
-        o2r * jnp.where(sev == C.SEVERE, 1.0 - rb, rw))
-
-    u2 = jr.uniform(k_nocare2, (N,), F32)
-    icu_denied = icu_request & ~granted_icu
-    icu_die_chance = jnp.where(sev == C.FATAL, 1.0,
-                               _vsel(arrays.p_icu_death_no_beds, variant, V))
-    icu_denied_die = icu_denied & (u2 < icu_die_chance)
-    # ICU-denied survivors still enter IN_ICU without claiming a unit —
-    # faithful to person_transfer_to_icu (main.pyx:341-351)
-    icu_enter = (icu_request & granted_icu) | (icu_denied & ~icu_denied_die)
-    icu_days = _round_to_int(o2r * (1.0 - rw - rb))
-
-    detect_hosp = bed_request & ~was_detected
-    was_detected = was_detected | bed_request
+    (new_st, days_left, is_infected, has_immunity, ever_icu,
+     was_detected, detect_hosp) = fused_map(
+        _phase5_post, 7,
+        [state.state, state.severity, state.variant, o2r, dl_a,
+         granted_bed, granted_icu, u_day, bed_request, icu_request,
+         die_home, recover_ill, hosp_recover, icu_die, icu_recover,
+         was_detected, state.is_infected, state.has_immunity,
+         state.ever_icu, onset],
+        [arrays.ratio_before_hosp, arrays.ratio_in_ward,
+         arrays.p_icu_death_no_beds, arrays.p_hosp_death_no_beds])
     detected_today = detected_today | detect_hosp
-
-    dies = die_home | denied_die | icu_denied_die | icu_die
-    recovers = recover_ill | denied_recover | hosp_recover | icu_recover
-
-    new_st = st
-    new_st = jnp.where(onset, C.ILLNESS, new_st)
-    new_st = jnp.where(hospitalized_now, C.HOSPITALIZED, new_st)
-    new_st = jnp.where(icu_enter, C.IN_ICU, new_st)
-    new_st = jnp.where(recovers, C.RECOVERED, new_st)
-    new_st = jnp.where(dies, C.DEAD, new_st)
-
-    days_left = dl_new
-    days_left = jnp.where(onset, illness_days, days_left)
-    days_left = jnp.where(hospitalized_now, hosp_days, days_left)
-    days_left = jnp.where(icu_enter, icu_days, days_left)
-
-    is_infected = state.is_infected & ~(dies | recovers)
-    has_immunity = state.has_immunity | ((dies | recovers) & state.is_infected)
-    ever_icu = state.ever_icu | icu_enter
+    new_st = new_st.astype(I32)
 
     # ---- phase 6: merge new infections ---------------------------------
     # imported infections (one-shot + weekly)
@@ -688,16 +885,14 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     # under lax.cond only on days with > infection_head new infections.
     Kcap = cfg.infection_buffer
     Kh = min(cfg.infection_head, Kcap)
-    # ONE cumulative pass for the compaction ranks AND the per-variant
-    # attribution weights: lane 0 counts newly (exact in f32 — counts
-    # stay far below 2^24), lanes 1..V carry contact×infectiousness
-    # weights per variant
+    # separate 1-D cumulative passes: measured 0.57 ms each vs 2.5 ms
+    # for one lane-stacked (N, 1+V) scan — the (8,128) tiling pads a
+    # 3-wide trailing axis to 128 lanes, so batching loses on this
+    # toolchain (docs/performance.md)
     c_s = jnp.where(exposer, k_s.astype(F32) * inf_base, 0.0)
-    lanes = [newly.astype(F32)] + [
-        jnp.where(variant == v, c_s, 0.0) for v in range(V)]
-    cums = jnp.cumsum(jnp.stack(lanes, axis=1), axis=0)      # (N, 1+V)
-    cum_newly = cums[:, 0]
-    cum_v_all = [cums[:, 1 + v] for v in range(V)]
+    cum_newly = jnp.cumsum(newly.astype(F32))   # exact-integer f32
+    cum_v_all = [jnp.cumsum(jnp.where(variant == v, c_s, 0.0))
+                 for v in range(V)]
     n_new = cum_newly[-1].astype(I32)
     problem = jnp.where(n_new > Kcap,
                         problem | C.PROBLEM_INFECTION_BUFFER_OVERFLOW, problem)

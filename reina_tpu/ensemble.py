@@ -34,7 +34,7 @@ from .core.state import DayCarry
 from .utils.compile import engine_jit
 
 
-@engine_jit(static_argnums=(0,))
+@engine_jit(static_argnums=(0,), no_persistent_cache=True)
 def _ensemble_scan(cfg, arrays, schedules, state, carry, keys):
     """Scan all days for a batch of seeds: vmap(day_step) under lax.scan."""
     def body(sc, row):

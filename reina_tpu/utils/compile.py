@@ -44,12 +44,22 @@ def _is_tpu() -> bool:
         return False
 
 
-def engine_jit(fn=None, *, static_argnums=()):
+def engine_jit(fn=None, *, static_argnums=(), no_persistent_cache=False):
     """Like jax.jit, but resolves TPU-specific compiler options at first
     call (the active backend isn't known at import time — tests switch
-    to CPU after import)."""
+    to CPU after import).
+
+    ``no_persistent_cache=True`` keeps this program out of the on-disk
+    compilation cache: serializing/deserializing the large vmapped
+    ensemble executable segfaults inside the XLA CPU client when the
+    process has compiled many other programs first (reproduced 3× in
+    the full test suite at both the cache-put and cache-get paths; the
+    identical program round-trips fine in a fresh process). The flag is
+    flipped around every call (any call with a new arg shape compiles),
+    so every other program keeps the warm-start cache."""
     if fn is None:
-        return functools.partial(engine_jit, static_argnums=static_argnums)
+        return functools.partial(engine_jit, static_argnums=static_argnums,
+                                 no_persistent_cache=no_persistent_cache)
 
     compiled = {}
 
@@ -62,6 +72,20 @@ def engine_jit(fn=None, *, static_argnums=()):
             jitted = jax.jit(fn, static_argnums=static_argnums,
                              compiler_options=opts)
             compiled[backend] = jitted
+        if no_persistent_cache:
+            # jax_enable_compilation_cache is only consulted when the
+            # cache object is first initialized; the min-compile-time
+            # threshold is the one knob _cache_write reads live. With
+            # writes blocked no entry ever exists, so the read path is
+            # a cheap miss (never deserializes).
+            prev = jax.config.jax_persistent_cache_min_compile_time_secs
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1e9)
+            try:
+                return jitted(*args, **kwargs)
+            finally:
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", prev)
         return jitted(*args, **kwargs)
 
     return wrapper

@@ -700,26 +700,34 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     # the boundary age vaccinate fully, the boundary age binomially at
     # the exact leftover fraction (within-age order is arbitrary in the
     # reference too, main.pyx:560-584; see docs/parity.md).
-    dov = state.day_of_vaccination
-    A_pad = arrays.age_onehot_full.shape[1]
-    for s in range(cfg.vacc_slots):
-        nr = jnp.floor(sched.vacc_nr[s])
-        mn, mx = arrays.vacc_min_age[s], arrays.vacc_max_age[s]
-        eligible = (active & ~is_dead & ~was_detected & (dov < 0)
-                    & (age >= mn) & (age <= mx))
-        counts = jnp.dot(eligible.astype(jnp.bfloat16),
-                         arrays.age_onehot_full,
-                         preferred_element_type=F32)[:A]         # (A,)
-        older = jnp.concatenate(
-            [jnp.cumsum(counts[::-1])[:-1][::-1], jnp.zeros(1, F32)])
-        older_ag = expand_by_age(arrays, older)
-        cnt_ag = expand_by_age(arrays, counts)
-        need = nr - older_ag
-        u_vac = jr.uniform(jr.fold_in(k_offset, 1000 + s), (N,), F32)
-        frac = jnp.clip(need / jnp.maximum(cnt_ag, 1.0), 0.0, 1.0)
-        take = eligible & (need > 0) & (
-            (cnt_ag <= need) | (u_vac < frac))
-        dov = jnp.where(take, day.astype(jnp.int16), dov)
+    # The whole block (one MXU matmul + N-uniform + N-pass per slot,
+    # ~1 ms/day) runs under lax.cond: the default calendar has no
+    # vaccinations before late 2020, and the per-slot uniforms are
+    # fold_in-keyed (not a sequential stream), so skipping idle days is
+    # bit-exact — on idle days nr=0 made every ``take`` False anyway.
+    def do_vaccination(dov):
+        for s in range(cfg.vacc_slots):
+            nr = jnp.floor(sched.vacc_nr[s])
+            mn, mx = arrays.vacc_min_age[s], arrays.vacc_max_age[s]
+            eligible = (active & ~is_dead & ~was_detected & (dov < 0)
+                        & (age >= mn) & (age <= mx))
+            counts = jnp.dot(eligible.astype(jnp.bfloat16),
+                             arrays.age_onehot_full,
+                             preferred_element_type=F32)[:A]     # (A,)
+            older = jnp.concatenate(
+                [jnp.cumsum(counts[::-1])[:-1][::-1], jnp.zeros(1, F32)])
+            older_ag = expand_by_age(arrays, older)
+            cnt_ag = expand_by_age(arrays, counts)
+            need = nr - older_ag
+            u_vac = jr.uniform(jr.fold_in(k_offset, 1000 + s), (N,), F32)
+            frac = jnp.clip(need / jnp.maximum(cnt_ag, 1.0), 0.0, 1.0)
+            take = eligible & (need > 0) & (
+                (cnt_ag <= need) | (u_vac < frac))
+            dov = jnp.where(take, day.astype(jnp.int16), dov)
+        return dov
+
+    dov = jax.lax.cond(jnp.sum(sched.vacc_nr) >= 1.0, do_vaccination,
+                       lambda d: d, state.day_of_vaccination)
 
     # ---- phase 4: exposure --------------------------------------------
     # contact tensor scaling (small (A, P, B) work stays XLA)
@@ -994,10 +1002,35 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
                       for i in range(6))
     slot_used = buf_agent < N
 
-    infector = state.infector.at[jnp.where(slot_used, buf_agent, N)].set(
-        infector_new, mode="drop")
+    def tiered_scatter(dst, idx, val, add=False):
+        """Slot-domain scatter in two tiers: the first ``Kh`` slots
+        always, the tail only when today's infection count exceeds the
+        head (used slots are a prefix of the slot buffer). The scatter
+        op costs ~5 ns per STREAMED slot through the scalar pipeline —
+        dropped N-sentinels included — so the full-Kcap stream paid
+        ~0.3 ms per scatter even on days with a few hundred infections
+        (device trace, fusion.3527-3566). Head/tail indices are
+        disjoint agent ids (sentinels drop), so the split is bit-exact."""
+        k = idx.shape[0]
+        if k <= Kh:
+            op = dst.at[idx]
+            return (op.add(val, mode="drop") if add
+                    else op.set(val, mode="drop"))
+        dst = (dst.at[idx[:Kh]].add(val[:Kh], mode="drop") if add
+               else dst.at[idx[:Kh]].set(val[:Kh], mode="drop"))
+
+        def tail(d):
+            return (d.at[idx[Kh:]].add(val[Kh:], mode="drop") if add
+                    else d.at[idx[Kh:]].set(val[Kh:], mode="drop"))
+
+        return jax.lax.cond(n_new > Kh, tail, lambda d: d, dst)
+
+    infector = tiered_scatter(
+        state.infector, jnp.where(slot_used, buf_agent, N), infector_new)
     src_scatter = jnp.where(slot_used & (infector_new >= 0), infector_new, N)
-    n_infected = state.n_infected.at[src_scatter].add(1, mode="drop")
+    n_infected = tiered_scatter(
+        state.n_infected, src_scatter,
+        jnp.ones_like(infector_new), add=True)
 
     # initialize newly-infected fields (person_infect, main.pyx:209-235):
     # severity/duration values were drawn on the slot domain and scatter
@@ -1013,8 +1046,15 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
 
     def prune_edges(args):
         es, ed, en, _floor = args
+        # an edge can still fire only if its source is still infected
+        # (removed sources free their lists, main.pyx:301-307) AND its
+        # target could still be queued: was_detected and DEAD are
+        # monotone, so edges into detected/dead targets are dead weight
+        # every future tracing pass would stream past
+        dst_ok = ~was_detected & ~is_dead
         alive = ((jnp.arange(E, dtype=I32) < en) & (es < N)
-                 & is_infected[jnp.clip(es, 0, N - 1)])
+                 & is_infected[jnp.clip(es, 0, N - 1)]
+                 & dst_ok[jnp.clip(ed, 0, N - 1)])
         buf, cnt = compact_indices(alive, E)
         buf_c = jnp.clip(buf, 0, E - 1)
         keep = buf < E
@@ -1038,17 +1078,17 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     problem = jnp.where(edge_n + n_app > E,
                         problem | C.PROBLEM_TRACING_BUFFER_OVERFLOW, problem)
     e_pos = jnp.where(e_valid, edge_n + e_rank - 1, E)
-    edge_src = edge_src.at[e_pos].set(
-        jnp.where(e_valid, infector_new, N), mode="drop")
-    edge_dst = edge_dst.at[e_pos].set(buf_agent, mode="drop")
+    edge_src = tiered_scatter(edge_src, e_pos,
+                              jnp.where(e_valid, infector_new, N))
+    edge_dst = tiered_scatter(edge_dst, e_pos, buf_agent)
     edge_n = jnp.minimum(edge_n + n_app, E)
 
     new_st = jnp.where(newly, C.INCUBATION, new_st)
-    sev_out = sev.at[buf_agent].set(sev_slot.astype(I32), mode="drop")
-    death_outside = state.death_outside.at[buf_agent].set(
-        outside_slot, mode="drop")
-    days_left = days_left.at[buf_agent].set(incub_slot, mode="drop")
-    o2r = o2r.at[buf_agent].set(o2r_slot, mode="drop")
+    sev_out = tiered_scatter(sev, buf_agent, sev_slot.astype(I32))
+    death_outside = tiered_scatter(state.death_outside, buf_agent,
+                                   outside_slot)
+    days_left = tiered_scatter(days_left, buf_agent, incub_slot)
+    o2r = tiered_scatter(o2r, buf_agent, o2r_slot)
     is_infected = is_infected | newly
     day_of_infection = jnp.where(newly, day.astype(jnp.int16),
                                  state.day_of_infection)
@@ -1131,10 +1171,18 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
 
 def _exposures_by_place(key, K_g, q_hat):
     """Sample the per-place split of all drawn contacts: the marginal
-    place distribution per source age is multinomial (main.pyx:1571)."""
+    place distribution per source age is multinomial (main.pyx:1571).
+
+    Drawn as independent per-place binomials (ONE sampler call) rather
+    than the sequential conditional-binomial chain: only the age-summed
+    (P,) vector is emitted, each place total keeps its exact
+    Binomial(K_a, q_ap) marginal, and what is dropped is the same
+    negative cross-category covariance already documented for the dart
+    split (docs/parity.md) — the old 8-call chain cost ~0.5 ms/day of
+    launch floors (device trace, while.240) for a diagnostic curve."""
     K_age = jnp.sum(K_g, axis=(1, 2, 3))                          # (A,)
     qp = jnp.sum(q_hat, axis=2)                                   # (A, P)
-    counts = _binomial_split_exact(key, K_age, qp)                # (A, P)
+    counts = _binomial_split(key, K_age, qp)                      # (A, P)
     return jnp.sum(counts, axis=0).astype(I32)
 
 

@@ -94,9 +94,15 @@ def test_rt_reasonable(tiny_result):
 
 
 def test_exposures_match_places(tiny_result):
+    """Place counts are independent per-place binomial marginals
+    (docs/parity.md §2): their sum tracks exposed_per_day to within
+    binomial noise instead of summing exactly."""
     out, _, _ = tiny_result
-    np.testing.assert_array_equal(
-        out.exposures_by_place.sum(axis=1), out.exposed_per_day)
+    total = out.exposures_by_place.sum(axis=1).astype(np.float64)
+    expect = out.exposed_per_day.astype(np.float64)
+    slack = 6.0 * np.sqrt(np.maximum(expect, 1.0)) + 10.0
+    assert (np.abs(total - expect) <= slack).all(), (
+        np.abs(total - expect).max(), slack.max())
 
 
 def test_edge_table_pruning_and_overflow():

@@ -899,8 +899,13 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     # toolchain (docs/performance.md)
     c_s = jnp.where(exposer, k_s.astype(F32) * inf_base, 0.0)
     cum_newly = jnp.cumsum(newly.astype(F32))   # exact-integer f32
-    cum_v_all = [jnp.cumsum(jnp.where(variant == v, c_s, 0.0))
-                 for v in range(V)]
+    # per-variant source weights as ONE concatenated (V*N,) cumulative
+    # pass: variant v's segment lives at [v*N, (v+1)*N), so attribution
+    # bisects ALL slots in one bracketed search instead of one bisect
+    # per variant (the bracket [v*N + age_start, ...) selects both the
+    # variant segment and the age cohort)
+    cum_cat = jnp.cumsum(jnp.concatenate(
+        [jnp.where(variant == v, c_s, 0.0) for v in range(V)]))
     n_new = cum_newly[-1].astype(I32)
     problem = jnp.where(n_new > Kcap,
                         problem | C.PROBLEM_INFECTION_BUFFER_OVERFLOW, problem)
@@ -938,22 +943,21 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         logw = jnp.where(w > 0, jnp.log(jnp.maximum(w, 1e-30)), -jnp.inf)
         a_star = jnp.argmax(logw + gumb, axis=1).astype(I32)
         u_src = jr.uniform(jr.fold_in(k_attr_src, part), (m,), F32)
-        inf_new = jnp.full(m, -1, I32)
-        for v in range(V):
-            cum_v = cum_v_all[v]
-            lo_i = arrays.age_start[a_star]
-            hi_i = arrays.age_start[a_star + 1]
-            lo_c = jnp.where(lo_i > 0, cum_v[jnp.maximum(lo_i - 1, 0)], 0.0)
-            hi_c = cum_v[jnp.maximum(hi_i - 1, 0)]
-            x = lo_c + u_src * (hi_c - lo_c)
-            # the source lives inside the sampled age bucket: bracket
-            # the bisect to [age_start[a*], age_start[a*+1])
-            pos_v = searchsorted_fixed(cum_v, x, side="left",
-                                       lo_init=lo_i, hi_init=hi_i,
-                                       max_range=cfg.max_age_cohort)
-            src_v = jnp.clip(pos_v, 0, N - 1)   # age-sorted: pos = agent id
-            ok_v = (v_i == v) & (hi_c > lo_c) & contact_p
-            inf_new = jnp.where(ok_v, src_v, inf_new)
+        # the source lives inside the sampled (variant, age bucket)
+        # segment of the concatenated cumulative weights: ONE bracketed
+        # bisect serves every slot regardless of variant
+        off = v_i * N
+        lo_i = off + arrays.age_start[a_star]
+        hi_i = off + arrays.age_start[a_star + 1]
+        lo_c = jnp.where(lo_i > 0, cum_cat[jnp.maximum(lo_i - 1, 0)], 0.0)
+        hi_c = cum_cat[jnp.maximum(hi_i - 1, 0)]
+        x = lo_c + u_src * (hi_c - lo_c)
+        pos = searchsorted_fixed(cum_cat, x, side="left",
+                                 lo_init=lo_i, hi_init=hi_i,
+                                 max_range=cfg.max_age_cohort)
+        src = jnp.clip(pos - off, 0, N - 1)   # age-sorted: pos = agent id
+        ok = (hi_c > lo_c) & contact_p
+        inf_new = jnp.where(ok, src, -1)
         g1 = gamma_fixed(jr.fold_in(k_gam1, part), kappa_inc, (m,))
         g2 = gamma_fixed(jr.fold_in(k_gam2, part), kappa_o2r, (m,))
         # severity + durations per slot: (variant, severity)-dependent

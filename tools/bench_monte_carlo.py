@@ -50,6 +50,22 @@ def main():
     np.asarray(outs.by_group)
     print(f"compile+first chunk: {time.perf_counter() - t0:.1f}s", flush=True)
 
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_MC.json")
+
+    def write_record(done, wall, finals):
+        rec = {
+            "metric": "hus_monte_carlo_seeds_per_hour_per_chip",
+            "n_seeds": done, "n_seeds_requested": n_seeds, "days": steps,
+            "wall_s": round(wall, 1),
+            "seeds_per_hour": round(done / wall * 3600, 1),
+            "final_all_infected_mean": float(np.mean(finals)),
+            "final_all_infected_std": float(np.std(finals)),
+        }
+        with open(out_path, "w") as f:
+            json.dump(rec, f)
+        return rec
+
     finals = []
     t0 = time.perf_counter()
     for s in range(n_seeds):
@@ -67,19 +83,11 @@ def main():
             el = time.perf_counter() - t0
             print(f"{s + 1}/{n_seeds} seeds, {el:.0f}s elapsed "
                   f"({(s + 1) / el * 3600:.0f} seeds/h)", flush=True)
-    wall = time.perf_counter() - t0
-
-    rec = {
-        "metric": "hus_monte_carlo_seeds_per_hour_per_chip",
-        "n_seeds": n_seeds, "days": steps,
-        "wall_s": round(wall, 1),
-        "seeds_per_hour": round(n_seeds / wall * 3600, 1),
-        "final_all_infected_mean": float(np.mean(finals)),
-        "final_all_infected_std": float(np.std(finals)),
-    }
-    with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "BENCH_MC.json"), "w") as f:
-        json.dump(rec, f)
+            # checkpoint the record: the remote tunnel can stall for
+            # tens of minutes, and a timeout-killed run must still
+            # leave an honest partial measurement on disk
+            write_record(s + 1, el, finals)
+    rec = write_record(len(finals), time.perf_counter() - t0, finals)
     print(json.dumps(rec), flush=True)
 
 

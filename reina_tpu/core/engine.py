@@ -92,7 +92,6 @@ def build_run(variables: Dict[str, Any],
         sigma_max[:, b] = disease.p_susc[:, sel].max(axis=1)
 
     G = pop.nr_groups
-    group_onehot = jax.nn.one_hot(pop.group_of_agent, G + 1, dtype=jnp.bfloat16)
 
     # Static per-agent expansions of every age/band-indexed table (TPU
     # small-table gathers cost ~15 ms per op inside the compiled step).
@@ -107,9 +106,6 @@ def build_run(variables: Dict[str, Any],
     n_hi = (nr_ages + 7) // 8
     age_onehot_hi = jax.nn.one_hot(age_hi, n_hi, dtype=jnp.bfloat16)
     age_onehot_lo = jax.nn.one_hot(age_lo, 8, dtype=jnp.bfloat16)
-    # padding agents get a zero row so N→age reductions ignore them
-    age_full_idx = np.where(pop.active, ages_i, n_hi * 8)
-    age_onehot_full = jax.nn.one_hot(age_full_idx, n_hi * 8, dtype=jnp.bfloat16)
 
     arrays = ModelArrays(
         ages=jnp.asarray(pop.ages, jnp.int32),
@@ -117,7 +113,6 @@ def build_run(variables: Dict[str, Any],
         age_start=jnp.asarray(pop.age_start),
         band_of_age=jnp.asarray(pop.band_of_age),
         band_counts=jnp.asarray(pop.band_counts),
-        group_onehot=group_onehot,
         group_of_agent=jnp.asarray(pop.group_of_agent),
         contact_base=jnp.asarray(contact_base),
         p_susc=jnp.asarray(disease.p_susc),
@@ -131,7 +126,6 @@ def build_run(variables: Dict[str, Any],
         lam_log1p_ag=jnp.asarray(lam_log1p_ag),
         age_onehot_hi=age_onehot_hi,
         age_onehot_lo=age_onehot_lo,
-        age_onehot_full=age_onehot_full,
         iot=jnp.asarray(disease.iot),
         inf_mult=jnp.asarray(disease.inf_mult),
         asymp_mult=jnp.asarray(disease.asymp_mult),
@@ -173,6 +167,7 @@ def build_run(variables: Dict[str, Any],
     cfg = EngineConfig(
         vacc_slots=max(slots.count, 1),
         nr_variants=V,
+        nr_groups=G,
         max_age_cohort=1 << (max_cohort - 1).bit_length(),
         **(cfg_overrides or {}))
 

@@ -36,7 +36,7 @@ from . import constants as C
 from .state import AgentState, DayCarry
 from ..ops.clamped import clamped_counter_grants
 from ..ops.compact import compact_indices
-from ..ops.fusedmap import fused_map
+from ..ops.fusedmap import fused_bihistogram, fused_map, fused_onehot_sum
 from ..ops.random import binomial_fixed, gamma_fixed, searchsorted_fixed
 
 I32 = jnp.int32
@@ -58,6 +58,7 @@ class EngineConfig:
     max_age_cohort: int = 1 << 16     # ≥ largest single-age population
     vacc_slots: int = 1               # vaccination campaign slots (≥ 1)
     nr_variants: int = 2
+    nr_groups: int = 10               # output age groups (by_group rows)
     stats_matmul: bool = True         # age-group stats on the MXU
 
 
@@ -71,8 +72,7 @@ class ModelArrays(NamedTuple):
     #                              ARE the agents of age a (padding at tail)
     band_of_age: jnp.ndarray     # (A,) int32
     band_counts: jnp.ndarray     # (B,) int32
-    group_onehot: jnp.ndarray    # (N, G+1) bfloat16 — output age groups
-    group_of_agent: jnp.ndarray  # (N,) int32
+    group_of_agent: jnp.ndarray  # (N,) int32 — output age group (G = padding)
     # contacts
     contact_base: jnp.ndarray    # (A, P, B) float32
     # disease (leading axis = variant)
@@ -91,7 +91,6 @@ class ModelArrays(NamedTuple):
     # exact dynamic per-age expansion: age = 8·hi + lo → two bf16 matmuls
     age_onehot_hi: jnp.ndarray   # (N, 13) bf16
     age_onehot_lo: jnp.ndarray   # (N, 8) bf16
-    age_onehot_full: jnp.ndarray  # (N, 104) bf16 — N→per-age reductions
     iot: jnp.ndarray             # (V, 21)
     inf_mult: jnp.ndarray        # (V,)
     asymp_mult: jnp.ndarray      # (V,)
@@ -256,13 +255,14 @@ def _binomial_split_exact(key, totals, probs):
     return jnp.moveaxis(outs, 0, -1)
 
 
-def _group_counts(arrays: ModelArrays, masks):
-    """Count agents per output age group for each mask: one bf16 matmul
-    on the MXU instead of 13 scatter reductions. Exact: 0/1 values and
-    f32 accumulation (counts < 2^24)."""
-    stacked = jnp.stack([m.astype(jnp.bfloat16) for m in masks])  # (K, N)
-    counts = jnp.dot(stacked, arrays.group_onehot,
-                     preferred_element_type=F32)  # (K, G+1)
+def _group_counts(cfg: EngineConfig, arrays: ModelArrays, masks):
+    """Count agents per output age group for each mask: blockwise MXU
+    one-hot dots (ops/fusedmap.py) instead of 13 scatter reductions or
+    a materialized (K, N) bf16 stack. Exact: 0/1 values and f32
+    accumulation (counts < 2^24). Padding/excluded agents carry group
+    code G and land in the dropped last column."""
+    counts = fused_onehot_sum(list(masks), arrays.group_of_agent,
+                              cfg.nr_groups + 1)
     return counts[:, :-1].astype(I32)
 
 
@@ -711,9 +711,7 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
             mn, mx = arrays.vacc_min_age[s], arrays.vacc_max_age[s]
             eligible = (active & ~is_dead & ~was_detected & (dov < 0)
                         & (age >= mn) & (age <= mx))
-            counts = jnp.dot(eligible.astype(jnp.bfloat16),
-                             arrays.age_onehot_full,
-                             preferred_element_type=F32)[:A]     # (A,)
+            counts = fused_onehot_sum([eligible], arrays.ages, A)[0]  # (A,)
             older = jnp.concatenate(
                 [jnp.cumsum(counts[::-1])[:-1][::-1], jnp.zeros(1, F32)])
             older_ag = expand_by_age(arrays, older)
@@ -759,16 +757,14 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     # aggregate contact counts by (age, variant, iot-day, asympt) group;
     # binomial(k, p) sums over same-p sources, so per-group totals give
     # exact dart counts at a tiny fraction of per-agent sampling cost.
-    # The (N → groups) reduction runs on the MXU: K[vts, age] =
-    # (vts-onehot ⊙ k)ᵀ @ age-onehot — a scatter-add op costs ~15 ms
-    # in this program, the matmul ~0.5 ms. Exact: k ≤ 128 and one-hots
-    # are 0/1, both exact in bf16; accumulation in f32.
+    # The (N → groups) reduction runs on the MXU as blockwise in-kernel
+    # one-hot dots (ops/fusedmap.py): a scatter-add costs ~15 ms in
+    # this program and the XLA matmul materialized a (N, VTS) bf16
+    # operand in HBM. Exact: k ≤ 128 and one-hots are 0/1, both exact
+    # in bf16; accumulation in f32.
     VTS = V * C.IOT_LEN * 2
-    vts_onehot = (vts[:, None] ==
-                  jnp.arange(VTS, dtype=I32)[None, :]) & exposer[:, None]
-    lhs = (vts_onehot * k_s[:, None]).astype(jnp.bfloat16)       # (N, VTS)
-    K_age = jnp.dot(lhs.T, arrays.age_onehot_full,
-                    preferred_element_type=F32)[:, :A]           # (VTS, A)
+    K_age = fused_bihistogram(jnp.where(exposer, vts, -1), VTS,
+                              k_s.astype(F32), arrays.ages, A)   # (VTS, A)
     K_g = K_age.T.reshape(A, V, C.IOT_LEN, 2)
 
     # per-group infectiousness: iot[v,t] · asymp_mult[v]^s · inf_mult[v],
@@ -1118,7 +1114,7 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         active & dead_m & death_outside,           # non_hospital_deaths
         active & newly,                            # new_infections
     ]
-    by_group = _group_counts(arrays, masks)
+    by_group = _group_counts(cfg, arrays, masks)
     all_detected = carry.all_detected + by_group[5]
     by_group = by_group.at[5].set(all_detected)
 
@@ -1216,7 +1212,8 @@ def snapshot_outputs(cfg: EngineConfig, arrays: ModelArrays,
         active & dead_m & state.death_outside,
         zero,
     ]
-    by_group = _group_counts(arrays, masks).at[5].set(carry.all_detected)
+    by_group = _group_counts(cfg, arrays, masks).at[5].set(
+        carry.all_detected)
     P = C.NR_PLACES
     return DayOutputs(
         by_group=by_group,

@@ -73,8 +73,8 @@ def main():
     step_mod._severity_draw = orig_sev
 
     # knockout: stats matmul → zeros
-    step_mod._group_counts = lambda arrays, masks: jnp.zeros(
-        (len(masks), arrays.group_onehot.shape[1] - 1), jnp.int32)
+    step_mod._group_counts = lambda cfg, arrays, masks: jnp.zeros(
+        (len(masks), cfg.nr_groups), jnp.int32)
     time_step(run, "no group stats")
     step_mod._group_counts = orig_groups
 

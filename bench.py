@@ -11,6 +11,7 @@ Secondary detail goes to stderr.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -81,4 +82,16 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception:
+        # Safety net: if the Pallas kernels ever fail to compile on a
+        # new toolchain, rerun once with the bit-identical XLA
+        # fallbacks (ops/fusedmap.py reads REINA_PALLAS at trace time).
+        if os.environ.get("REINA_PALLAS") == "0":
+            raise
+        import traceback
+        traceback.print_exc()
+        print("retrying with REINA_PALLAS=0", file=sys.stderr)
+        os.environ["REINA_PALLAS"] = "0"
+        os.execv(sys.executable, [sys.executable] + sys.argv)

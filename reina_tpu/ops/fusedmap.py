@@ -20,6 +20,7 @@ Design rules that keep it safe:
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Sequence
 
 import jax
@@ -29,6 +30,11 @@ LANE = 128
 
 
 def _is_tpu() -> bool:
+    # REINA_PALLAS=0 is the operational escape hatch: every fused op
+    # falls back to its bit-identical XLA formulation (bench.py retries
+    # a failed first compile with it set)
+    if os.environ.get("REINA_PALLAS", "1") == "0":
+        return False
     try:
         return jax.default_backend() == "tpu"
     except Exception:

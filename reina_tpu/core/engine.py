@@ -265,11 +265,16 @@ def run_days(run: CompiledRun, n_days: Optional[int] = None,
     base_key = jr.PRNGKey(run.random_seed if seed is None else seed)
     arrays, schedules = run.arrays, run.schedules
     state, carry = run.init_state, run.init_carry
+    cfg = run.cfg
     if mesh is not None:
+        from dataclasses import replace
         from ..parallel.mesh import shard_run
         arrays, schedules, state, carry = shard_run(run, mesh)
+        # GSPMD can't partition a pallas_call — keep the bit-identical
+        # XLA fallbacks so the agent axis actually shards
+        cfg = replace(cfg, pallas=False)
 
-    snap = snapshot_outputs(run.cfg, arrays, state, carry,
+    snap = snapshot_outputs(cfg, arrays, state, carry,
                             schedules.mobility_scalar[0])
     rows = [jax.tree.map(lambda x: np.asarray(x)[None], snap)]
     day = 0
@@ -297,7 +302,7 @@ def run_days(run: CompiledRun, n_days: Optional[int] = None,
         this_chunk = min(chunk_days, steps_left)
         t0 = time.perf_counter()
         state, carry, outs = run_chunk(
-            run.cfg, arrays, schedules, state, carry, base_key,
+            cfg, arrays, schedules, state, carry, base_key,
             this_chunk, day)
         outs = jax.tree.map(np.asarray, outs)  # blocks
         chunk_times.append((this_chunk, time.perf_counter() - t0))

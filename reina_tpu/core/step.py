@@ -60,6 +60,11 @@ class EngineConfig:
     nr_variants: int = 2
     nr_groups: int = 10               # output age groups (by_group rows)
     stats_matmul: bool = True         # age-group stats on the MXU
+    pallas: bool = True               # allow single-launch Pallas kernels;
+    #                                   mesh-sharded runs force the XLA
+    #                                   fallback (GSPMD can't partition a
+    #                                   pallas_call — it would replicate
+    #                                   the full agent axis per chip)
 
 
 class ModelArrays(NamedTuple):
@@ -262,7 +267,8 @@ def _group_counts(cfg: EngineConfig, arrays: ModelArrays, masks):
     accumulation (counts < 2^24). Padding/excluded agents carry group
     code G and land in the dropped last column."""
     counts = fused_onehot_sum(list(masks), arrays.group_of_agent,
-                              cfg.nr_groups + 1)
+                              cfg.nr_groups + 1,
+                              force=None if cfg.pallas else "xla")
     return counts[:, :-1].astype(I32)
 
 
@@ -501,6 +507,7 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     V = cfg.nr_variants
     P = C.NR_PLACES
     B = arrays.band_counts.shape[0]
+    fm = None if cfg.pallas else "xla"  # fused-op kernel gate
 
     day = carry.day
     key = jr.fold_in(base_key, day)
@@ -711,7 +718,8 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
             mn, mx = arrays.vacc_min_age[s], arrays.vacc_max_age[s]
             eligible = (active & ~is_dead & ~was_detected & (dov < 0)
                         & (age >= mn) & (age <= mx))
-            counts = fused_onehot_sum([eligible], arrays.ages, A)[0]  # (A,)
+            counts = fused_onehot_sum([eligible], arrays.ages, A,
+                                      force=fm)[0]               # (A,)
             older = jnp.concatenate(
                 [jnp.cumsum(counts[::-1])[:-1][::-1], jnp.zeros(1, F32)])
             older_ag = expand_by_age(arrays, older)
@@ -741,7 +749,7 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         [state.state, state.days_left, state.day_of_illness,
          state.day_of_infection, state.severity, state.variant,
          was_detected, state.is_infected, active, z, nc_ag],
-        [arrays.iot, arrays.asymp_mult, arrays.inf_mult, day])
+        [arrays.iot, arrays.asymp_mult, arrays.inf_mult, day], force=fm)
     exposed_per_day = jnp.sum(k_s, dtype=I32)
 
     # mask protection per (variant, age, place): p(either mask saves)
@@ -764,7 +772,8 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     # in bf16; accumulation in f32.
     VTS = V * C.IOT_LEN * 2
     K_age = fused_bihistogram(jnp.where(exposer, vts, -1), VTS,
-                              k_s.astype(F32), arrays.ages, A)   # (VTS, A)
+                              k_s.astype(F32), arrays.ages, A,
+                              force=fm)                          # (VTS, A)
     K_g = K_age.T.reshape(A, V, C.IOT_LEN, 2)
 
     # per-group infectiousness: iot[v,t] · asymp_mult[v]^s · inf_mult[v],
@@ -790,7 +799,7 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         _make_receiver_body(V, B), 3,
         [band_t] + [arrays.lam_log1p_ag[v] for v in range(V)]
         + [state.is_infected, state.has_immunity, active, u_inf, u_var],
-        [D])
+        [D], force=fm)
 
     # ---- phase 5: progression + capacity rationing ---------------------
     # everything elementwise runs as TWO single-launch fused passes (one
@@ -810,7 +819,7 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
          state.days_left, o2r, state.severity, was_detected,
          state.death_outside, state.day_of_illness, u_day, state.variant],
         [arrays.ratio_before_hosp, arrays.ratio_in_ward, scal_i,
-         sched.detect_anyway_p])
+         sched.detect_anyway_p], force=fm)
     queued = queued | queue_new
 
     offset = jr.randint(k_offset, (), 0, N)
@@ -831,7 +840,8 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
          was_detected, state.is_infected, state.has_immunity,
          state.ever_icu, onset],
         [arrays.ratio_before_hosp, arrays.ratio_in_ward,
-         arrays.p_icu_death_no_beds, arrays.p_hosp_death_no_beds])
+         arrays.p_icu_death_no_beds, arrays.p_hosp_death_no_beds],
+        force=fm)
     detected_today = detected_today | detect_hosp
     new_st = new_st.astype(I32)
 

@@ -90,9 +90,13 @@ def run_ensemble(run: CompiledRun, seeds: List[int],
         keys = jnp.stack([jr.PRNGKey(s) for s in chunk])
         if placement is not None:
             keys = jax.device_put(keys, placement(keys))
+        # vmapped/mesh-sharded programs keep the XLA formulations of the
+        # fused ops: GSPMD can't partition a pallas_call, and the
+        # single-launch kernels only pay off in the sequential program
+        from dataclasses import replace
         st_b, cr_b, outs = _ensemble_scan(
-            run.cfg, run.arrays, schedules, run.init_state,
-            run.init_carry, keys)
+            replace(run.cfg, pallas=False), run.arrays, schedules,
+            run.init_state, run.init_carry, keys)
         for problem in np.asarray(cr_b.problem):
             check_problems(int(problem))
         results.append(jax.tree.map(np.asarray, outs))

@@ -36,7 +36,9 @@ from . import constants as C
 from .state import AgentState, DayCarry
 from ..ops.clamped import clamped_counter_grants
 from ..ops.compact import compact_indices
-from ..ops.fusedmap import fused_bihistogram, fused_map, fused_onehot_sum
+from ..ops.fusedmap import (fused_bihistogram, fused_concat_prefix,
+                            fused_fn_onehot_sum, fused_map,
+                            fused_onehot_sum)
 from ..ops.random import binomial_fixed, gamma_fixed, searchsorted_fixed
 
 I32 = jnp.int32
@@ -499,6 +501,34 @@ GROUP_ROW = {
 }
 
 
+def _output_masks(active, is_inf, has_imm, dov, det, st, ever_icu,
+                  dout, newly):
+    """The GROUP_ROW output masks from raw end-of-day agent fields —
+    pure elementwise, so it runs INSIDE the blockwise MXU one-hot
+    kernel (fused_fn_onehot_sum) and, identically, in the XLA fallback.
+    16-bit fields are cast up front (Mosaic has no 16-bit vector
+    arithmetic). Row order must match GROUP_ROW."""
+    st = st.astype(jnp.int32)
+    dov = dov.astype(jnp.int32)
+    ever = is_inf | has_imm
+    dead = st == C.DEAD
+    return [
+        active & ~ever,                       # susceptible
+        active & (dov >= 0),                  # vaccinated
+        active & is_inf,                      # infected
+        active & ever,                        # all_infected
+        active & det,                         # detected (today)
+        active & det,                         # all_detected (delta; cum added by caller)
+        active & (st == C.IN_ICU),            # in_icu
+        active & ever_icu,                    # cum_icu
+        active & (st == C.HOSPITALIZED),      # in_ward
+        active & dead,                        # dead
+        active & (st == C.RECOVERED),         # recovered
+        active & dead & dout,                 # non_hospital_deaths
+        active & newly,                       # new_infections
+    ]
+
+
 def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
              state: AgentState, carry: DayCarry, base_key):
     """Advance one day. Returns (state, carry, DayOutputs)."""
@@ -899,19 +929,20 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     # under lax.cond only on days with > infection_head new infections.
     Kcap = cfg.infection_buffer
     Kh = min(cfg.infection_head, Kcap)
-    # separate 1-D cumulative passes: measured 0.57 ms each vs 2.5 ms
-    # for one lane-stacked (N, 1+V) scan — the (8,128) tiling pads a
-    # 3-wide trailing axis to 128 lanes, so batching loses on this
-    # toolchain (docs/performance.md)
+    # single-launch streaming prefix sums (ops/fusedmap.py): the XLA
+    # reduce-window pair for these two scans cost 3.8 ms/day in the
+    # device trace; the sequential-carry kernel reads each input byte
+    # once. cum_newly stays exact (integer-valued f32); cum_cat's float
+    # association changes vs jnp.cumsum — an equally-valid sample path,
+    # same non-monotone-dip magnitude (docs/parity.md deviation 12)
     c_s = jnp.where(exposer, k_s.astype(F32) * inf_base, 0.0)
-    cum_newly = jnp.cumsum(newly.astype(F32))   # exact-integer f32
+    cum_newly = fused_concat_prefix(newly.astype(F32), None, 1, force=fm)
     # per-variant source weights as ONE concatenated (V*N,) cumulative
     # pass: variant v's segment lives at [v*N, (v+1)*N), so attribution
     # bisects ALL slots in one bracketed search instead of one bisect
     # per variant (the bracket [v*N + age_start, ...) selects both the
     # variant segment and the age cohort)
-    cum_cat = jnp.cumsum(jnp.concatenate(
-        [jnp.where(variant == v, c_s, 0.0) for v in range(V)]))
+    cum_cat = fused_concat_prefix(c_s, variant, V, force=fm)
     n_new = cum_newly[-1].astype(I32)
     problem = jnp.where(n_new > Kcap,
                         problem | C.PROBLEM_INFECTION_BUFFER_OVERFLOW, problem)
@@ -1106,25 +1137,15 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     day_of_illness = jnp.where(newly, 0, day_of_illness)
 
     # ---- phase 7: outputs ----------------------------------------------
-    ever_infected = is_infected | has_immunity
-    dead_m = new_st == C.DEAD
-    # row order MUST match GROUP_ROW below (the one place it is defined)
-    masks = [
-        active & ~ever_infected,                   # susceptible
-        active & (dov >= 0),                       # vaccinated
-        active & is_infected,                      # infected
-        active & ever_infected,                    # all_infected
-        active & detected_today,                   # detected (today)
-        active & detected_today,                   # all_detected (delta; cum added below)
-        active & (new_st == C.IN_ICU),             # in_icu
-        active & ever_icu,                         # cum_icu
-        active & (new_st == C.HOSPITALIZED),       # in_ward
-        active & dead_m,                           # dead
-        active & (new_st == C.RECOVERED),          # recovered
-        active & dead_m & death_outside,           # non_hospital_deaths
-        active & newly,                            # new_infections
-    ]
-    by_group = _group_counts(cfg, arrays, masks)
+    # the 13 GROUP_ROW masks are computed INSIDE the blockwise one-hot
+    # kernel from 9 raw field streams (_output_masks) instead of being
+    # materialized as 13 (N,) bools in HBM — the mask fusions cost
+    # ~1 ms/day of write+read traffic in the device trace
+    fields = [active, is_infected, has_immunity, dov, detected_today,
+              new_st, ever_icu, death_outside, newly]
+    by_group = fused_fn_onehot_sum(
+        fields, _output_masks, len(GROUP_ROW), arrays.group_of_agent,
+        cfg.nr_groups + 1, force=fm)[:, :-1].astype(I32)
     all_detected = carry.all_detected + by_group[5]
     by_group = by_group.at[5].set(all_detected)
 

@@ -197,6 +197,184 @@ def fused_onehot_sum(parts, code_b, n_b: int,
     )(code_b, *parts)
 
 
+def fused_fn_onehot_sum(fields, mask_fn, n_masks: int, code_b, n_b: int,
+                        max_block: int = 16384, force: str | None = None):
+    """out[k, b] = sum_i mask_fn(*fields)[k][i] * [code_b[i] == b] with
+    the K masks computed INSIDE the kernel from the raw field streams.
+
+    Materializing the masks in HBM (fused_onehot_sum's contract) costs
+    K bool N-writes plus K reads; the underlying fields are usually far
+    fewer/narrower streams (phase 7's 13 output masks derive from 9
+    fields). mask_fn must be pure elementwise; it receives same-shape
+    blocks (cast 16-bit fields to i32 before arithmetic — Mosaic has no
+    16-bit vector arithmetic). Counts are exact integer f32 sums, so
+    kernel and fallback agree bit-for-bit. Returns (K, n_b) float32.
+    """
+    N = fields[0].shape[0]
+    code_b = code_b.astype(jnp.int32)
+
+    def lhs_block(cols):
+        return jnp.concatenate(
+            [c[:, None].astype(jnp.float32).astype(jnp.bfloat16)
+             for c in cols], axis=1)                      # (m, K) bf16
+
+    use_pallas = force == "pallas" or (
+        force is None and _is_tpu() and N % 1024 == 0)
+    if not use_pallas:
+        masks = mask_fn(*fields)
+        assert len(masks) == n_masks
+        return jax.lax.dot_general(
+            lhs_block(masks), _onehot_bf16(code_b, n_b),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (K, n_b)
+
+    from jax.experimental import pallas as pl
+
+    bs = _largest_block(N, max_block, 1024)
+    n_f = len(fields)
+
+    def kernel(code_ref, *refs):
+        f_refs, o_ref = refs[:n_f], refs[n_f]
+        masks = mask_fn(*(r[...] for r in f_refs))
+        acc = jax.lax.dot_general(
+            lhs_block(masks), _onehot_bf16(code_ref[...], n_b),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            o_ref[...] = acc
+
+        @pl.when(pl.program_id(0) > 0)
+        def _acc():
+            o_ref[...] += acc
+
+    vec = pl.BlockSpec((bs,), lambda i: (i,))
+    return pl.pallas_call(
+        kernel,
+        grid=(N // bs,),
+        out_shape=jax.ShapeDtypeStruct((n_masks, n_b), jnp.float32),
+        in_specs=[vec] * (1 + n_f),
+        out_specs=pl.BlockSpec((n_masks, n_b), lambda i: (0, 0)),
+    )(code_b, *fields)
+
+
+def _hs_prefix_block(x):
+    """Inclusive prefix sum of a (rows, LANE) block in flat row-major
+    order via Hillis-Steele shift-adds — an explicit, fixed float
+    association, so the Pallas kernel and the XLA fallback perform the
+    EXACT same additions in the same order (bit-identical outputs, the
+    module's design rule). log2(LANE) lane steps + log2(rows) row steps."""
+    rows, lanes = x.shape
+    k = 1
+    while k < lanes:
+        pad = jnp.zeros((rows, k), x.dtype)
+        x = x + jnp.concatenate([pad, x[:, :lanes - k]], axis=1)
+        k *= 2
+    t = x[:, lanes - 1:]                       # (rows, 1) row totals
+    r = t
+    k = 1
+    while k < rows:
+        pad = jnp.zeros((k, 1), x.dtype)
+        r = r + jnp.concatenate([pad, r[:rows - k, :]], axis=0)
+        k *= 2
+    return x + (r - t)                         # exclusive row prefix
+
+
+def fused_concat_prefix(weights, codes, n_seg: int,
+                        max_block_rows: int = 2048,
+                        force: str | None = None):
+    """Inclusive prefix sum over the virtual concatenation
+    ``[where(codes == s, weights, 0) for s in range(n_seg)]`` — i.e.
+    ``cumsum`` of an (n_seg*N,) array — WITHOUT materializing the
+    concatenation, as ONE streaming HBM pass (device trace: the XLA
+    reduce-window pair for phase 6's cum_newly + cum_cat cost
+    3.8 ms/day at HUS scale; reduce-window re-reads each level of its
+    scan tree, a sequential-carry kernel reads each input byte once).
+
+    The Pallas kernel walks n_seg*G blocks in grid order with the
+    running total carried in VMEM scratch; segment s re-reads the same
+    N inputs masked to its code. The fallback executes the IDENTICAL
+    per-block shift-add body (same block size, same add order) in a
+    python loop, so both paths agree bit-for-bit even for float
+    weights where summation order matters.
+
+    codes=None (with n_seg=1) skips the mask: a plain fused cumsum.
+    Returns (n_seg*N,) in ``weights``' dtype (cast float32/int32 first).
+    """
+    N = weights.shape[0]
+    dt = weights.dtype
+    if codes is None:
+        assert n_seg == 1
+    else:
+        codes = codes.astype(jnp.int32)
+
+    def masked(w, c, s):
+        return w if c is None else jnp.where(c == s, w, jnp.zeros((), dt))
+
+    R = N // LANE
+    if N % (8 * LANE) != 0:   # engine pads to 1024 — tiny/odd N only
+        if codes is None:
+            return jnp.cumsum(weights)
+        return jnp.cumsum(jnp.concatenate(
+            [masked(weights, codes, s) for s in range(n_seg)]))
+
+    blk = _largest_block(R, max_block_rows, 8)
+    G = R // blk
+
+    interpret = force == "interpret"   # CPU-test the kernel logic
+    use_pallas = interpret or force == "pallas" or (
+        force is None and _is_tpu())
+    if not use_pallas:
+        w2 = weights.reshape(G, blk, LANE)
+        c2 = None if codes is None else codes.reshape(G, blk, LANE)
+        outs = []
+        carry = jnp.zeros((), dt)
+        for s in range(n_seg):
+            for j in range(G):
+                x = masked(w2[j], None if c2 is None else c2[j], s)
+                p = _hs_prefix_block(x) + carry
+                outs.append(p)
+                carry = p[-1, -1]
+        return jnp.stack(outs).reshape(n_seg * N)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(*refs):
+        if codes is None:
+            w_ref, o_ref, acc_ref = refs
+            c_ref = None
+        else:
+            w_ref, c_ref, o_ref, acc_ref = refs
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _init():
+            acc_ref[...] = jnp.zeros((1, 1), dt)
+
+        x = masked(w_ref[...], None if c_ref is None else c_ref[...],
+                   g // G)
+        p = _hs_prefix_block(x) + acc_ref[0, 0]
+        o_ref[...] = p
+        acc_ref[...] = p[-1:, -1:]
+
+    bs = pl.BlockSpec((blk, LANE), lambda g: (g % G, 0))
+    ins = [weights.reshape(R, LANE)]
+    if codes is not None:
+        ins.append(codes.reshape(R, LANE))
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_seg * G,),
+        out_shape=jax.ShapeDtypeStruct((n_seg * R, LANE), dt),
+        in_specs=[bs] * len(ins),
+        out_specs=pl.BlockSpec((blk, LANE), lambda g: (g, 0)),
+        scratch_shapes=[pltpu.VMEM((1, 1), dt)],
+        interpret=interpret,
+    )(*ins)
+    return out.reshape(n_seg * N)
+
+
 def fused_bihistogram(code_a, n_a: int, weights, code_b, n_b: int,
                       max_block: int = 16384, force: str | None = None):
     """out[a, b] = sum_i weights[i] * [code_a[i] == a] * [code_b[i] == b]

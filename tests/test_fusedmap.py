@@ -47,6 +47,49 @@ def test_fused_onehot_sum_fallback():
     np.testing.assert_array_equal(got, want)
 
 
+def test_fused_concat_prefix():
+    from reina_tpu.ops.fusedmap import fused_concat_prefix
+    N, V = 4096, 2
+    w = jr.uniform(jr.PRNGKey(7), (N,), jnp.float32) * 3
+    codes = jr.randint(jr.PRNGKey(8), (N,), 0, V, jnp.int32)
+
+    out = np.asarray(fused_concat_prefix(w, codes, V, force="xla"))
+    ref = np.cumsum(np.concatenate(
+        [np.where(np.asarray(codes) == s, np.asarray(w), 0.0)
+         for s in range(V)]), dtype=np.float64)
+    assert out.shape == (V * N,)
+    # f32 tree-sum accuracy + the same worst-case dip class as
+    # jnp.cumsum (docs/parity.md deviation 12)
+    assert np.abs(out - ref).max() / ref[-1] < 1e-6
+    dip = -min(np.diff(out).min(), 0.0) / out[-1]
+    assert dip < 1e-6
+
+    # integer-valued f32 streams are EXACT under any association
+    wi = jnp.floor(w * 10)
+    outi = np.asarray(fused_concat_prefix(wi, codes, V, force="xla"))
+    refi = np.cumsum(np.concatenate(
+        [np.where(np.asarray(codes) == s, np.asarray(wi), 0.0)
+         for s in range(V)]))
+    np.testing.assert_array_equal(outi, refi)
+
+    # the interpreted Pallas kernel is bit-identical to the fallback
+    ki = np.asarray(fused_concat_prefix(w, codes, V, force="interpret"))
+    np.testing.assert_array_equal(ki, out)
+
+    # codes=None: plain fused cumsum, same three properties
+    out1 = np.asarray(fused_concat_prefix(w, None, 1, force="xla"))
+    k1 = np.asarray(fused_concat_prefix(w, None, 1, force="interpret"))
+    np.testing.assert_array_equal(k1, out1)
+    assert np.abs(out1 - np.cumsum(np.asarray(w), dtype=np.float64)
+                  ).max() / out1[-1] < 1e-6
+
+    # odd N (not a multiple of 1024) takes the plain-jnp path
+    o3 = np.asarray(fused_concat_prefix(w[:1000], codes[:1000], V))
+    assert o3.shape == (2000,)
+    np.testing.assert_allclose(
+        o3[-1], np.asarray(w[:1000]).sum(), rtol=1e-5)
+
+
 def test_fused_bihistogram_fallback():
     N, A, B = 4096, 7, 13
     ca = jr.randint(jr.PRNGKey(4), (N,), -1, A + 1)

@@ -47,6 +47,25 @@ def test_fused_onehot_sum_fallback():
     np.testing.assert_array_equal(got, want)
 
 
+def test_fused_fn_onehot_sum_fallback():
+    from reina_tpu.ops.fusedmap import fused_fn_onehot_sum, fused_onehot_sum
+    N, B = 2048, 9
+    a = jr.bernoulli(jr.PRNGKey(9), 0.4, (N,))
+    v = jr.randint(jr.PRNGKey(10), (N,), -3, 40, jnp.int16)
+    s = jr.randint(jr.PRNGKey(11), (N,), 0, 5, jnp.int32)
+    code = jr.randint(jr.PRNGKey(12), (N,), 0, B)
+
+    def mask_fn(a, v, s):
+        v = v.astype(jnp.int32)
+        return [a & (v >= 0), a & (s == 2), (v >= 10) & ~a]
+
+    got = np.asarray(fused_fn_onehot_sum([a, v, s], mask_fn, 3, code, B,
+                                         force="xla"))
+    want = np.asarray(fused_onehot_sum(mask_fn(a, v, s), code, B,
+                                       force="xla"))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_fused_concat_prefix():
     from reina_tpu.ops.fusedmap import fused_concat_prefix
     N, V = 4096, 2

@@ -31,7 +31,9 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
-_NEG = jnp.int32(-(1 << 30))
+_NEG = -(1 << 30)  # python int: a module-scope jnp scalar would force
+#                   jax backend init at import (hangs when the TPU
+#                   tunnel is down before the server can even bind)
 
 
 def clamped_counter_grants(releases, requests, init, offset):

@@ -133,6 +133,39 @@ class GraphQLHandler(BaseHTTPRequestHandler):
             self.end_headers()
             self.wfile.write(body)
             return
+        if self.path.split("?")[0] == "/export.xlsx":
+            # Excel download of a finished run's daily result table —
+            # the reference's dash_table export (components/results.py:
+            # 294-331) served the displayed DataFrame as .xlsx
+            from urllib.parse import parse_qs, urlparse
+
+            from .. import cache
+            from ..xlsx import workbook_bytes
+
+            run_id = (parse_qs(urlparse(self.path).query)
+                      .get("run") or [""])[0]
+            results = cache.get("%s-results" % run_id) if run_id else None
+            if results is None:
+                self.send_response(404)
+                self._cors()
+                self.end_headers()
+                return
+            df = results["total"]
+            header = ["date"] + [str(c) for c in df.columns]
+            rows = ([str(d)] + list(vals)
+                    for d, vals in zip(df.index.date, df.values))
+            body = workbook_bytes(header, rows)
+            self.send_response(200)
+            self._cors()
+            self.send_header(
+                "Content-Type", "application/vnd.openxmlformats-"
+                "officedocument.spreadsheetml.sheet")
+            self.send_header("Content-Disposition",
+                             'attachment; filename="reina_results.xlsx"')
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
         if self.path.split("?")[0] == "/graphql":
             # graphiql IDE, like the reference's Flask-GraphQL view
             # (graphql_backend.py:40-45, graphiql=True)

@@ -119,6 +119,62 @@ def test_http_server_roundtrip():
         httpd.shutdown()
 
 
+def test_xlsx_export_endpoint():
+    """GET /export.xlsx serves the cached run's daily table as a real
+    zip-of-SpreadsheetML workbook (reference dash_table Excel export,
+    components/results.py:294-331)."""
+    import io
+    import urllib.request
+    import urllib.error
+    import zipfile
+    from xml.etree import ElementTree
+
+    import pandas as pd
+
+    from reina_tpu.runtime import cache
+    from reina_tpu.runtime.graphql.server import serve
+
+    df = pd.DataFrame(
+        {"all_detected": [1, 2], "dead": [0, 1], "r": [1.5, float("nan")]},
+        index=pd.to_datetime(["2020-03-01", "2020-03-02"]))
+    cache.set("xlsxtest-results", {"total": df, "age_groups": None})
+
+    httpd = serve(host="127.0.0.1", port=0, background=True)
+    port = httpd.server_address[1]
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/export.xlsx?run=xlsxtest",
+                timeout=10) as resp:
+            assert "spreadsheetml" in resp.headers["Content-Type"]
+            data = resp.read()
+        z = zipfile.ZipFile(io.BytesIO(data))
+        names = set(z.namelist())
+        assert {"[Content_Types].xml", "xl/workbook.xml",
+                "xl/worksheets/sheet1.xml"} <= names
+        ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+        sheet = ElementTree.fromstring(z.read("xl/worksheets/sheet1.xml"))
+        sheet_rows = sheet.findall(f"{ns}sheetData/{ns}row")
+        assert len(sheet_rows) == 3  # header + 2 days
+        header = [c.find(f"{ns}is/{ns}t").text
+                  for c in sheet_rows[0].findall(f"{ns}c")]
+        assert header == ["date", "all_detected", "dead", "r"]
+        day1 = sheet_rows[1].findall(f"{ns}c")
+        assert day1[0].find(f"{ns}is/{ns}t").text == "2020-03-01"
+        assert day1[1].find(f"{ns}v").text == "1"
+        # NaN serializes as an empty cell, not an invalid number
+        assert sheet_rows[2].findall(f"{ns}c")[3].find(f"{ns}v") is None
+
+        # unknown run id → 404
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/export.xlsx?run=nope", timeout=10)
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        httpd.shutdown()
+
+
 def test_shm_cache_backend():
     """Native shared-memory KV store: TTLs, cross-handle visibility,
     arena compaction (cpp/shmcache)."""

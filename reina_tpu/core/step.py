@@ -39,7 +39,8 @@ from ..ops.compact import compact_indices
 from ..ops.fusedmap import (fused_bihistogram, fused_concat_prefix,
                             fused_fn_onehot_sum, fused_map,
                             fused_onehot_sum)
-from ..ops.random import binomial_fixed, gamma_fixed, searchsorted_fixed
+from ..ops.random import (binomial_fixed, gamma_fixed, searchsorted_compact,
+                          searchsorted_fixed)
 
 I32 = jnp.int32
 F32 = jnp.float32
@@ -948,10 +949,12 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
                         problem | C.PROBLEM_INFECTION_BUFFER_OVERFLOW, problem)
 
     def compact_part(lo_slot: int, n_slots: int):
-        # cum_newly is exact-integer f32; compare against f32 queries
+        # cum_newly is exact-integer f32; compare against f32 queries.
+        # Two-level bisect: the ≤104-entry level-1 subsample gathers as
+        # selects (~free), cutting gathered rounds log2(N) → log2(block)
         slots = lo_slot + jnp.arange(n_slots, dtype=I32)
-        buf = searchsorted_fixed(cum_newly, (slots + 1).astype(F32),
-                                 side="left")
+        buf = searchsorted_compact(cum_newly, (slots + 1).astype(F32),
+                                   side="left")
         used = slots < jnp.minimum(n_new, Kcap)
         return jnp.where(used, buf, N)
 

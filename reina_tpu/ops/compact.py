@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .random import searchsorted_fixed
+from .random import searchsorted_compact
 
 I32 = jnp.int32
 
@@ -42,7 +42,10 @@ def compact_indices(mask, capacity: int, head: int = 1 << 12):
 
     def part(lo_slot: int, n_slots: int):
         slots = lo_slot + jnp.arange(n_slots, dtype=I32)
-        buf = searchsorted_fixed(cum, slots + 1, side="left")
+        # two-level bisect: a ≤104-entry strided subsample of cum gathers
+        # as vectorized selects, cutting the gathered rounds from
+        # log2(N) to log2(block) (ops/random.py:searchsorted_compact)
+        buf = searchsorted_compact(cum, slots + 1, side="left")
         used = slots < jnp.minimum(count, capacity)
         return jnp.where(used, buf, n)
 

@@ -208,6 +208,31 @@ def searchsorted_fixed(sorted_arr, queries, side: str = "left",
     return lo
 
 
+def tiny_level1_block(n: int, max_sub: int = 104):
+    """Largest ``block`` with ``n % block == 0`` whose strided
+    subsample ``arr[block-1::block]`` has ≤ max_sub entries — a
+    ≤~100-entry table gathers as vectorized selects (~free on this
+    TPU, docs/performance.md), so a two-level bisect through it saves
+    log2(n_sub) *gathered* rounds. Returns None when n has no such
+    divisor (prime-ish n) or the saving would be < 4 rounds."""
+    for k in range(max_sub, 15, -1):
+        if n % k == 0:
+            return n // k
+    return None
+
+
+def searchsorted_compact(sorted_arr, queries, side: str = "left"):
+    """Full-range bisect that routes through a free select-table level
+    1 when the array length allows it (tiny_level1_block); otherwise a
+    plain fixed bisect. Results are identical — bisection over the
+    same array is exact under any bracketing path."""
+    n = sorted_arr.shape[0]
+    blk = tiny_level1_block(n)
+    if blk is None or blk >= n:
+        return searchsorted_fixed(sorted_arr, queries, side=side)
+    return searchsorted_blocked(sorted_arr, queries, side=side, block=blk)
+
+
 def searchsorted_blocked(sorted_arr, queries, side: str = "left",
                          block: int = 128, lo_init=None, hi_init=None):
     """Two-level bisect over a large sorted array: level 1 bisects the

@@ -98,6 +98,29 @@ def test_searchsorted_blocked_matches_reference():
     assert bool(jnp.all(got2 == ref))
 
 
+def test_searchsorted_compact_matches_fixed():
+    """The free-level-1 routing gives bit-identical results to the
+    plain bisect on exact-integer arrays (its only engine use)."""
+    import jax.numpy as jnp
+    import jax.random as jr
+    import numpy as np
+    from reina_tpu.ops.random import (searchsorted_compact,
+                                      searchsorted_fixed,
+                                      tiny_level1_block)
+
+    assert tiny_level1_block(1686528) == 17568      # HUS-padded N: 96 subs
+    assert tiny_level1_block(4096) == 4096 // 64
+    assert tiny_level1_block(10007) is None         # prime: no divisor
+
+    for n in (4096, 1686528 // 128):
+        mask = jr.bernoulli(jr.PRNGKey(5), 0.01, (n,))
+        cum = jnp.cumsum(mask.astype(jnp.float32))
+        q = jnp.arange(1, 130, dtype=jnp.float32)
+        got = np.asarray(searchsorted_compact(cum, q, side="left"))
+        want = np.asarray(searchsorted_fixed(cum, q, side="left"))
+        np.testing.assert_array_equal(got, want)
+
+
 def test_compact_indices():
     import jax.random as jr
     import numpy as np

@@ -64,18 +64,26 @@ def main():
         trace = json.load(f)
     durs = defaultdict(float)
     counts = defaultdict(int)
+    longname = {}
     for ev in trace.get("traceEvents", []):
         if ev.get("ph") != "X":
             continue
         name = ev.get("name", "")
         args = ev.get("args") or {}
-        cat = args.get("long_name") or name
         durs[name] += ev.get("dur", 0)
         counts[name] += 1
+        ln = args.get("long_name") or args.get("tf_op") or ""
+        if ln and name not in longname:
+            longname[name] = ln
     total = sum(durs.values())
     print(f"\ntotal device-event time: {total/1e3:.1f} ms over {chunk} days")
     for name, d in sorted(durs.items(), key=lambda kv: -kv[1])[:45]:
-        print(f"{d/1e3:10.2f} ms {counts[name]:6d}x  {name[:100]}")
+        # the long_name carries the jaxpr op path (source attribution) —
+        # print it so hot fusions map to engine phases without a
+        # separate HLO dump
+        ln = longname.get(name, "")
+        print(f"{d/1e3:10.2f} ms {counts[name]:6d}x  {name[:60]}"
+              f"  {ln[:160]}")
 
 
 if __name__ == "__main__":

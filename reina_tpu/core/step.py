@@ -633,19 +633,26 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         # infector) — gathers are the scalar-pipeline bound here.
         r2_tab = jnp.where(eligible & (u_mem < sched.trace_p)
                            & (infector >= 0), infector, N)
-        r2_tab = jnp.concatenate([r2_tab, jnp.full((1,), N, I32)])
 
         def recurse_targets(tgt, hit_ok):
             """Level-2 infector candidates for level-1 hits ``tgt``
             (buffer-sized): queued iff eligible, then Bernoulli via the
-            member-keyed table, targeting their infector."""
-            return jnp.where(hit_ok, r2_tab[jnp.minimum(tgt, N)], N)
+            member-keyed table, targeting their infector. hit_ok
+            implies tgt < N (a fired edge has a real target), so the
+            clip never changes a consulted value — this avoids padding
+            r2_tab to (N+1,), an N-sized copy per tracing day."""
+            return jnp.where(hit_ok, r2_tab[jnp.clip(tgt, 0, N - 1)], N)
 
-        def edge_passes(src_ok, key, with_recurse):
+        def edge_passes(src_ok, key, with_recurse, hit=None, hit_r2=None):
             """Geometric-tier pass over the edge table: hit mask plus
-            (optionally) inline level-2 infector candidates."""
-            hit = jnp.zeros(N + 1, bool)
-            hit_r2 = jnp.zeros(N + 1, bool)
+            (optionally) inline level-2 infector candidates. Existing
+            (N+1,) accumulators can be passed in — scattering into one
+            base is the OR of two scatter sets, so sharing buffers
+            saves the zero-init and the OR pass."""
+            if hit is None:
+                hit = jnp.zeros(N + 1, bool)
+            if hit_r2 is None:
+                hit_r2 = jnp.zeros(N + 1, bool)
             lo, part = 0, 0
             while lo < E:
                 seg = Eh if lo == 0 else min(lo * 3, E) - lo
@@ -672,7 +679,7 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
                         edge_n > lo, tier, lambda c: c, (hit, hit_r2))
                 lo += seg
                 part += 1
-            return hit[:N], hit_r2[:N]
+            return hit, hit_r2
 
         # ---- level 1 (sources: the drained queue, compacted once) ----
         # the queue is usually far smaller than the Tcap buffer, so the
@@ -707,19 +714,22 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
                 lambda c: c, (hit1, hit_r2a))
             lo += seg
             part += 1
-        hit1, hit_r2a = hit1[:N], hit_r2a[:N]
-        # level-1 infectee edges (+ inline level-2 infector candidates)
+        # level-1 infectee edges (+ inline level-2 infector candidates):
+        # the edge scatters accumulate straight into l1's buffers, so
+        # hit12 = hit1 | hit2 and hit_r2ab = hit_r2a | hit_r2b come out
+        # of the scatters themselves (no zero-inits, no OR passes)
         src_ok1 = drained & state.is_infected
-        hit2, hit_r2b = edge_passes(src_ok1, k_e1, with_recurse=True)
+        hit12, hit_r2ab = edge_passes(src_ok1, k_e1, with_recurse=True,
+                                      hit=hit1, hit_r2=hit_r2a)
 
-        newq1 = eligible & (hit1 | hit2)
+        newq1 = eligible & hit12[:N]
 
         # ---- level 2 ----
         # infectee edges of the level-1 frontier (mask-based — no
         # compaction); infector attempts were folded in above
         src_ok2 = newq1 & state.is_infected
         hit2_l2, _ = edge_passes(src_ok2, k_e2, with_recurse=False)
-        newq2 = eligible & ~newq1 & (hit_r2a | hit_r2b | hit2_l2)
+        newq2 = eligible & ~newq1 & (hit_r2ab[:N] | hit2_l2[:N])
 
         return queued | newq1 | newq2, n_d > Tcap
 

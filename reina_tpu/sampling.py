@@ -52,6 +52,18 @@ def sample_distribution(what: str, age: int, severity: Optional[str],
     if what not in SUPPORTED:
         raise ValueError(
             "unknown sample type. supported: %s" % ", ".join(sorted(SUPPORTED)))
+    # explorer draws dispatch small scans eagerly; keep their executables
+    # out of the on-disk compile cache — deserializing such an entry
+    # after many in-process compiles segfaults XLA:CPU
+    # (utils/compile.py:persistent_cache_disabled), and sub-second
+    # compiles gain nothing from caching
+    from .utils.compile import persistent_cache_disabled
+    with persistent_cache_disabled():
+        return _sample_distribution(what, age, severity, variables)
+
+
+def _sample_distribution(what: str, age: int, severity: Optional[str],
+                         variables: Dict):
     import jax
     import jax.numpy as jnp
     import jax.random as jr

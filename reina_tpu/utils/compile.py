@@ -10,6 +10,7 @@ jit (the option is TPU-specific).
 """
 from __future__ import annotations
 
+import contextlib
 import functools
 import os
 from typing import Any, Dict, Optional
@@ -73,19 +74,30 @@ def engine_jit(fn=None, *, static_argnums=(), no_persistent_cache=False):
                              compiler_options=opts)
             compiled[backend] = jitted
         if no_persistent_cache:
-            # jax_enable_compilation_cache is only consulted when the
-            # cache object is first initialized; the min-compile-time
-            # threshold is the one knob _cache_write reads live. With
-            # writes blocked no entry ever exists, so the read path is
-            # a cheap miss (never deserializes).
-            prev = jax.config.jax_persistent_cache_min_compile_time_secs
-            jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                              1e9)
-            try:
+            with persistent_cache_disabled():
                 return jitted(*args, **kwargs)
-            finally:
-                jax.config.update(
-                    "jax_persistent_cache_min_compile_time_secs", prev)
         return jitted(*args, **kwargs)
 
     return wrapper
+
+
+@contextlib.contextmanager
+def persistent_cache_disabled():
+    """Disable the on-disk compilation cache (reads AND writes) for the
+    calls under the context.
+
+    ``is_persistent_cache_enabled()`` consults
+    ``jax_enable_compilation_cache`` live on both the _cache_read and
+    _cache_write paths, so flipping it here reliably prevents
+    executable (de)serialization. That matters because XLA:CPU
+    segfaults inside cache deserialization/compilation after enough
+    cumulative compiles in one process (reproduced at a cache GET of a
+    small eager-dispatched sampler scan after ~100 tests, and at the
+    4th+ big vmapped-engine compile) — keep fragile or
+    cache-worthless programs out entirely."""
+    prev = jax.config.jax_enable_compilation_cache
+    jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_enable_compilation_cache", prev)

@@ -86,18 +86,25 @@ def persistent_cache_disabled():
     """Disable the on-disk compilation cache (reads AND writes) for the
     calls under the context.
 
-    ``is_persistent_cache_enabled()`` consults
-    ``jax_enable_compilation_cache`` live on both the _cache_read and
-    _cache_write paths, so flipping it here reliably prevents
-    executable (de)serialization. That matters because XLA:CPU
-    segfaults inside cache deserialization/compilation after enough
-    cumulative compiles in one process (reproduced at a cache GET of a
-    small eager-dispatched sampler scan after ~100 tests, and at the
-    4th+ big vmapped-engine compile) — keep fragile or
-    cache-worthless programs out entirely."""
+    Flipping ``jax_enable_compilation_cache`` alone is NOT enough:
+    ``compilation_cache.is_cache_used`` memoizes its verdict after the
+    first cached compile in the process, after which cache keys are
+    produced and the GET path deserializes entries regardless of the
+    flag. ``reset_cache()`` clears that memoization (and the cache
+    object) so the flag is genuinely re-consulted; a second reset on
+    exit lets later compiles re-initialize the cache normally. This
+    matters because XLA:CPU segfaults inside executable
+    (de)serialization after enough cumulative compiles in one process
+    (reproduced at a cache GET of a small eager-dispatched sampler
+    scan ~100 tests in, and at the 4th+ big vmapped-engine compile) —
+    keep fragile or cache-worthless programs out entirely."""
+    from jax._src import compilation_cache
+
     prev = jax.config.jax_enable_compilation_cache
     jax.config.update("jax_enable_compilation_cache", False)
+    compilation_cache.reset_cache()
     try:
         yield
     finally:
         jax.config.update("jax_enable_compilation_cache", prev)
+        compilation_cache.reset_cache()

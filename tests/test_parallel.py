@@ -8,28 +8,10 @@ import pytest
 
 import jax
 
-_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_ISOLATED = os.environ.get("REINA_ISOLATED_SUBTEST") == "1"
-
-
-def _run_isolated(nodeid):
-    """Run one test in a fresh interpreter and assert it passed.
-
-    The 4th+ XLA CPU compile of a big vmapped whole-engine program in a
-    single process segfaults inside ``backend_compile_and_load``
-    (reproduced 5x at exactly these tests, with and without the
-    persistent compile cache and with a 512 MB thread-stack rlimit; the
-    identical compile always succeeds in a fresh process — a cumulative
-    jaxlib/XLA:CPU defect, not an engine bug). The child executes the
-    REAL test body (env flag routes it); the parent only checks the
-    exit status."""
-    env = dict(os.environ, REINA_ISOLATED_SUBTEST="1")
-    r = subprocess.run(
-        [sys.executable, "-m", "pytest", "-q", "-x", nodeid],
-        cwd=_REPO, env=env, capture_output=True, text=True, timeout=1800)
-    assert r.returncode == 0, (
-        f"isolated test failed (rc={r.returncode}):\n"
-        f"{r.stdout[-3000:]}\n{r.stderr[-2000:]}")
+# see tests/_isolation.py for the cumulative XLA:CPU segfault this
+# works around
+from _isolation import ISOLATED as _ISOLATED  # noqa: E402
+from _isolation import run_isolated as _run_isolated  # noqa: E402
 
 
 def test_ensemble_vmap(tiny_run):

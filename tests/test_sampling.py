@@ -1,9 +1,31 @@
-"""Parameter-distribution sampling API (reference main.pyx:2047-2101)."""
+"""Parameter-distribution sampling API (reference main.pyx:2047-2101).
+
+The distribution tests run in ONE fresh child interpreter
+(test_sampling_isolated): their eager gamma/contact-scan compiles land
+~100 compiles into a full-suite run, where the cumulative XLA:CPU
+defect segfaults (tests/_isolation.py; reproduced twice at
+test_incubation_period, in backend_compile_and_load and at a
+persistent-cache read).
+"""
 import numpy as np
 import pytest
 
+from _isolation import ISOLATED, run_isolated
+
 from reina_tpu.config.variables import VARIABLE_DEFAULTS
 from reina_tpu.sampling import sample_distribution
+
+needs_fresh_process = pytest.mark.skipif(
+    not ISOLATED,
+    reason="compile-fragile: executed inside test_sampling_isolated's "
+           "child interpreter")
+
+
+def test_sampling_isolated():
+    """Run the guarded tests below in a fresh interpreter."""
+    if ISOLATED:
+        pytest.skip("already inside the isolated child")
+    run_isolated("tests/test_sampling.py")
 
 
 @pytest.fixture(scope="module")
@@ -11,6 +33,7 @@ def variables():
     return dict(VARIABLE_DEFAULTS)
 
 
+@needs_fresh_process
 def test_severity_distribution(variables):
     c = sample_distribution("symptom_severity", 80, None, variables)
     p = c / c.sum()
@@ -20,6 +43,7 @@ def test_severity_distribution(variables):
     assert p.get("FATAL", 0) > 0.3
 
 
+@needs_fresh_process
 def test_incubation_period(variables):
     c = sample_distribution("incubation_period", 30, None, variables)
     vals = np.repeat(c.index.to_numpy(), c.to_numpy())
@@ -27,6 +51,7 @@ def test_incubation_period(variables):
     assert abs(vals.std() / vals.mean() - 0.86) < 0.1
 
 
+@needs_fresh_process
 def test_contacts_per_day(variables):
     c = sample_distribution("contacts_per_day", 10, None, variables)
     vals = np.repeat(c.index.to_numpy(), c.to_numpy())
@@ -34,6 +59,7 @@ def test_contacts_per_day(variables):
     assert vals.mean() > 5  # school-age children have many contacts
 
 
+@needs_fresh_process
 def test_periods_by_severity(variables):
     ill_mild = sample_distribution("illness_period", 30, "MILD", variables)
     ill_sev = sample_distribution("illness_period", 30, "SEVERE", variables)
@@ -49,6 +75,7 @@ def test_periods_by_severity(variables):
     np.testing.assert_allclose(m_icu, 21.0 * (1 - 0.3 - 0.15), rtol=0.15)
 
 
+@needs_fresh_process
 def test_infectiousness_curve(variables):
     s = sample_distribution("infectiousness", 0, None, variables)
     assert s.idxmax() in (-1, 0)

@@ -33,6 +33,7 @@ logger = logging.getLogger(__name__)
 MAX_CONCURRENT_RUNS = 16
 RESULT_TTL_S = 30
 PUBLISH_INTERVAL_S = 0.5
+HEARTBEAT_S = 10.0
 
 
 class BusyError(RuntimeError):
@@ -66,14 +67,48 @@ class SimulationThread(threading.Thread):
 
     def run(self) -> None:
         last_publish = [None]
+        last_payload = [None]
+        hb_stop = threading.Event()
+
+        def heartbeat():
+            # Refresh the liveness + partial-result keys while the
+            # engine sits inside a long XLA compile and cannot publish:
+            # the reference's 30 s TTL assumed a sub-30 s simulated day
+            # (simulation_thread.py:20,41); our TPU chunk compiles take
+            # ~49 s warm and minutes cold, which would let
+            # ``<run>-finished`` expire (clients see "No simulation run
+            # active" mid-run) and ``<run>-results`` expire (streamed
+            # charts blank out between chunks).
+            while not hb_stop.wait(HEARTBEAT_S):
+                if hb_stop.is_set():
+                    break
+                cache.set("%s-finished" % self.cache_key, False,
+                          self.cache_expiration)
+                if last_payload[0] is not None:
+                    cache.set("%s-results" % self.cache_key,
+                              last_payload[0], self.cache_expiration)
+
+        hb = threading.Thread(target=heartbeat, daemon=True)
+        hb.start()
+
+        def finish(error=None):
+            # stop (and join) the heartbeat BEFORE the terminal writes
+            # so a stale False can never overwrite the final True
+            hb_stop.set()
+            hb.join(timeout=5.0)
+            if error is not None:
+                cache.set("%s-error" % self.cache_key, error,
+                          self.cache_expiration)
+            cache.set("%s-finished" % self.cache_key, True,
+                      self.cache_expiration)
 
         def publish(total, age_groups=None, by_variant=None, force=False):
             now = time.time()
             if force or last_publish[0] is None or \
                     now - last_publish[0] > PUBLISH_INTERVAL_S:
-                cache.set("%s-results" % self.cache_key,
-                          dict(total=total, age_groups=age_groups,
-                               by_variant=by_variant),
+                last_payload[0] = dict(total=total, age_groups=age_groups,
+                                       by_variant=by_variant)
+                cache.set("%s-results" % self.cache_key, last_payload[0],
                           self.cache_expiration)
                 last_publish[0] = now
 
@@ -90,13 +125,12 @@ class SimulationThread(threading.Thread):
         except ExecutionInterrupted:
             logger.info("%s: run cancelled", self.uuid)
         except Exception as e:  # noqa: BLE001 — errors surface to clients
-            cache.set("%s-finished" % self.cache_key, True, self.cache_expiration)
-            cache.set("%s-error" % self.cache_key, str(e), self.cache_expiration)
+            finish(error=str(e))
             logger.exception("%s: run failed", self.uuid)
             return
         else:
             publish(df, age_groups=adf, force=True)
-        cache.set("%s-finished" % self.cache_key, True, self.cache_expiration)
+        finish()
 
 
 class RunRegistry:

@@ -82,6 +82,40 @@ def test_admission_control(fake_sim, monkeypatch):
     gate.set()
 
 
+def test_heartbeat_outlives_ttl(monkeypatch):
+    """The worker refreshes ``-finished``/``-results`` while the engine
+    is stuck in a long XLA compile and cannot publish — otherwise the
+    30 s key TTL expires mid-compile and clients see "No simulation run
+    active" (reference simulation_thread.py:20,41 assumed sub-TTL
+    days; our TPU chunk compiles exceed it)."""
+    monkeypatch.setattr(runner, "HEARTBEAT_S", 0.05)
+    gate = threading.Event()
+
+    def stuck(step_callback=None, callback_day_interval=1,
+              variable_store=None):
+        idx = pd.date_range("2020-02-18", periods=1)
+        df = pd.DataFrame({"infected": [1]}, index=idx)
+        step_callback(df)          # one early partial publish
+        gate.wait(timeout=10)      # then a "compile" longer than the TTL
+        return df, df
+
+    stuck._calcfunc_variables = ["random_seed"]
+    stuck._calcfunc_funcs = []
+    stuck._calcfunc_filedeps = []
+    monkeypatch.setattr(runner, "simulate_individuals", stuck)
+
+    t = runner.SimulationThread({"random_seed": 99})
+    t.cache_expiration = 0.2   # TTL ≪ the stall below
+    t.start()
+    run_id = t.cache_key
+    time.sleep(1.0)  # ≫ TTL: without the heartbeat both keys expire
+    assert cache.get("%s-finished" % run_id) is False
+    assert cache.get("%s-results" % run_id) is not None
+    gate.set()
+    t.join(timeout=10)
+    assert cache.get("%s-finished" % run_id) is True
+
+
 def test_error_published(monkeypatch):
     def boom(step_callback=None, callback_day_interval=1, variable_store=None):
         raise RuntimeError("engine exploded")

@@ -13,6 +13,7 @@
 // Exposed as a flat C ABI consumed from Python via ctypes (no pybind11
 // in this environment).
 
+#include <algorithm>
 #include <atomic>
 #include <cerrno>
 #include <cstdint>
@@ -24,11 +25,15 @@
 #include <sys/mman.h>
 #include <sys/stat.h>
 #include <unistd.h>
+#include <vector>
 
 namespace {
 
 constexpr uint64_t MAGIC = 0x52454948434E4143ull;  // "REIHCNAC"
 constexpr uint32_t MAX_KEY = 256;
+// Deleted-entry marker: keeps open-addressing probe chains intact
+// (resetting to 0 would make colliding keys past the hole unreachable).
+constexpr uint64_t TOMB = ~0ull;
 
 struct Header {
     uint64_t magic;
@@ -60,7 +65,8 @@ uint64_t fnv1a(const char* data, size_t len) {
         h ^= (unsigned char)data[i];
         h *= 1099511628211ull;
     }
-    return h ? h : 1;  // reserve 0 for "empty"
+    if (h == 0 || h == TOMB) return 1;  // 0 = empty, TOMB = deleted
+    return h;
 }
 
 struct Cache {
@@ -73,47 +79,67 @@ struct Cache {
 Bucket* find_bucket(Cache* c, const char* key, uint32_t klen, bool for_insert) {
     uint64_t h = fnv1a(key, klen);
     uint64_t n = c->hdr->nbuckets;
-    Bucket* first_tomb = nullptr;
+    Bucket* first_free = nullptr;
     for (uint64_t probe = 0; probe < n; probe++) {
         Bucket* b = &c->buckets[(h + probe) % n];
         if (b->key_hash == 0) {
-            if (for_insert) return first_tomb ? first_tomb : b;
+            if (for_insert) return first_free ? first_free : b;
             return nullptr;
+        }
+        if (b->key_hash == TOMB) {  // deleted: reusable, keep probing
+            if (for_insert && !first_free) first_free = b;
+            continue;
         }
         if (b->key_hash == h && b->key_len == klen &&
             memcmp(b->key, key, klen) == 0) {
             return b;
         }
         // expired entries are reusable on insert
-        if (for_insert && !first_tomb && b->expires_ms &&
+        if (for_insert && !first_free && b->expires_ms &&
             b->expires_ms < now_ms()) {
-            first_tomb = b;
+            first_free = b;
         }
     }
-    return for_insert ? first_tomb : nullptr;
+    return for_insert ? first_free : nullptr;
 }
 
-// Compact the arena by dropping expired entries and repacking live values.
+// Compact the arena by dropping expired entries and repacking live
+// values, and rebuild the bucket table (clearing tombstones).
 void compact(Cache* c) {
     uint64_t n = c->hdr->nbuckets;
     uint64_t ms = now_ms();
-    uint64_t write = 0;
-    // NOTE: simple two-pass repack; values move, bucket offsets update.
+    std::vector<Bucket> live;
     for (uint64_t i = 0; i < n; i++) {
         Bucket* b = &c->buckets[i];
-        if (b->key_hash == 0) continue;
-        if (b->expires_ms && b->expires_ms < ms) {
-            b->key_hash = 0;
-            continue;
+        if (b->key_hash != 0 && b->key_hash != TOMB &&
+            !(b->expires_ms && b->expires_ms < ms)) {
+            live.push_back(*b);
         }
-        if (b->value_off != c->hdr->arena_off + write) {
-            memmove(c->arena + write, (char*)c->base + b->value_off,
-                    b->value_len);
-            b->value_off = c->hdr->arena_off + write;
+        b->key_hash = 0;
+    }
+    // Repack in ascending offset order: iterating in bucket order could
+    // memmove a value DOWN onto a lower-offset live value that has not
+    // been moved yet, corrupting it.
+    std::sort(live.begin(), live.end(),
+              [](const Bucket& a, const Bucket& b) {
+                  return a.value_off < b.value_off;
+              });
+    uint64_t write = 0;
+    for (Bucket& b : live) {
+        if (b.value_off != c->hdr->arena_off + write) {
+            memmove(c->arena + write, (char*)c->base + b.value_off,
+                    b.value_len);
+            b.value_off = c->hdr->arena_off + write;
         }
-        write += (b->value_len + 7) & ~7ull;
+        write += (b.value_len + 7) & ~7ull;
     }
     c->hdr->arena_used.store(write);
+    // reinsert into the cleared table (live.size() ≤ nbuckets by
+    // construction, so a slot always exists)
+    for (const Bucket& b : live) {
+        Bucket* slot = find_bucket(c, b.key, b.key_len, /*for_insert=*/true);
+        *slot = b;
+    }
 }
 
 }  // namespace
@@ -217,8 +243,8 @@ int shmcache_set(void* handle, const char* key, uint32_t klen,
     return 0;
 }
 
-// Returns value length, 0 if missing/expired, -1 if the caller's buffer
-// is too small (required size written to *out_len either way).
+// Returns the value length (copied into ``out``), 0 if missing/expired,
+// or the negated required size if ``out_cap`` is too small.
 int64_t shmcache_get(void* handle, const char* key, uint32_t klen,
                      char* out, uint64_t out_cap) {
     Cache* c = (Cache*)handle;
@@ -227,7 +253,7 @@ int64_t shmcache_get(void* handle, const char* key, uint32_t klen,
     int64_t ret = 0;
     if (b) {
         if (b->expires_ms && b->expires_ms < now_ms()) {
-            b->key_hash = 0;
+            b->key_hash = TOMB;
         } else if (b->value_len <= out_cap) {
             memcpy(out, (char*)c->base + b->value_off, b->value_len);
             ret = b->value_len;
@@ -243,7 +269,7 @@ int shmcache_delete(void* handle, const char* key, uint32_t klen) {
     Cache* c = (Cache*)handle;
     if (lock_robust(c) != 0) return -2;
     Bucket* b = find_bucket(c, key, klen, /*for_insert=*/false);
-    if (b) b->key_hash = 0;
+    if (b) b->key_hash = TOMB;
     pthread_mutex_unlock(&c->hdr->lock);
     return b ? 0 : -1;
 }

@@ -241,6 +241,58 @@ def test_shm_cache_backend():
         ShmKV.unlink("reina-pytest")
 
 
+def test_shm_cache_delete_and_compaction_integrity():
+    """Regressions for two shmcache bugs: (1) delete used to null the
+    bucket (truncating open-addressing probe chains: colliding keys
+    past the hole became unreachable — tombstones now keep chains
+    alive), and (2) compaction repacked in bucket order, so a value
+    could memmove DOWN onto a lower-offset live value that had not
+    moved yet (now repacks in ascending offset order)."""
+    import shutil
+    if shutil.which("make") is None:
+        pytest.skip("no native toolchain")
+    from reina_tpu.runtime.shm import ShmKV
+    try:
+        ShmKV.unlink("reina-pytest-cc")
+    except Exception:
+        pass
+    kv = ShmKV("reina-pytest-cc", 1 << 18)  # small: 16-bucket-scale table
+    try:
+        # interleave inserts and deletes so surviving keys sit behind
+        # deleted slots in their probe chains (with a small table every
+        # key collides), then verify every survivor stays reachable
+        vals = {}
+        for i in range(120):
+            k = b"key-%03d" % i
+            v = (b"%03d" % i) * (7 + i % 23)
+            kv.set(k, v)
+            vals[k] = v
+            if i % 3 == 0 and i > 0:
+                dk = b"key-%03d" % (i - 1)
+                kv.delete(dk)
+                del vals[dk]
+        for k, v in vals.items():
+            assert kv.get(k) == v, k
+        # force repeated compactions with mixed value sizes and updates
+        # (updates move a key's value to a high offset while its bucket
+        # index stays put — the old repack order corrupted these)
+        for rnd in range(6):
+            for i in range(0, 120, 5):
+                k = b"key-%03d" % i
+                if k in vals:
+                    vals[k] = bytes([65 + rnd]) * (50 + 37 * i % 1500)
+                    kv.set(k, vals[k])
+            kv.set(b"filler-%d" % rnd, b"f" * 60000, ttl=0.001)
+            time.sleep(0.01)
+            # second large short-lived value forces an arena compaction
+            kv.set(b"press-%d" % rnd, b"p" * 60000, ttl=0.001)
+            for k, v in vals.items():
+                assert kv.get(k) == v, (rnd, k)
+    finally:
+        kv.close()
+        ShmKV.unlink("reina-pytest-cc")
+
+
 def test_shm_cache_interface():
     """ShmCache pickles arbitrary objects through the native store."""
     import shutil

@@ -20,7 +20,8 @@ import numpy as np
 
 from .state import AgentState, DayCarry
 
-FORMAT_VERSION = 2   # v2: DayCarry gained the infectee edge table
+FORMAT_VERSION = 3   # v3: AgentState gained ``traceable`` (owns an
+#                      infectee list); v2: DayCarry gained the edge table
 
 
 def save_checkpoint(path: str, state: AgentState, carry: DayCarry,

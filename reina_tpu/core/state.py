@@ -35,6 +35,12 @@ class AgentState(NamedTuple):
     has_immunity: np.ndarray     # bool
     was_detected: np.ndarray     # bool
     queued: np.ndarray           # bool — queued_for_testing
+    traceable: np.ndarray        # bool — contact tracing was active when
+    #                              this agent was infected, i.e. the agent
+    #                              owns an infectee list (main.pyx:227-233:
+    #                              the list is malloc'ed at the agent's OWN
+    #                              infection; edges into its infectees are
+    #                              recorded only then)
     ever_icu: np.ndarray         # bool — cumulative-ICU stat flag
     included_in_totals: np.ndarray  # bool — counted into R_t totals
     active: np.ndarray           # bool — False for padding
@@ -77,6 +83,10 @@ def blank_state(pop: PopulationArrays) -> AgentState:
         n_infected=np.zeros(n, dtype=np.int32),
         is_infected=zb.copy(), has_immunity=zb.copy(),
         was_detected=zb.copy(), queued=zb.copy(),
+        # seeded agents never own infectee lists: the reference seeds
+        # through person_infect BEFORE any intervention applies and the
+        # initial testing mode is NO_TESTING (main.pyx:466,1469)
+        traceable=zb.copy(),
         ever_icu=zb.copy(), included_in_totals=zb.copy(),
         active=pop.active.copy(),
     )

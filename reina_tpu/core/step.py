@@ -162,26 +162,24 @@ def _round_to_int(f):
     return jnp.floor(f + 0.5).astype(jnp.int16)
 
 
-def _vsel(table, variant, v_count):
-    """table[variant] per agent without a gather op: unrolled selects
-    over the (small, static) variant count."""
-    acc = jnp.full(variant.shape, table[0], F32)
-    for v in range(1, v_count):
-        acc = jnp.where(variant == v, table[v], acc)
-    return acc
-
-
-def expand_by_age(arrays: ModelArrays, per_age):
-    """Expand a dynamic (A,) table to per-agent values exactly, as two
-    bf16 one-hot matmuls (age = 8·hi + lo): the table is split into a
-    bf16 value plus a bf16 residual so f32 precision is preserved."""
+def expand_by_age(arrays: ModelArrays, per_age, terms: int = 2):
+    """Expand a dynamic (A,) table to per-agent values as bf16 one-hot
+    matmuls (age = 8·hi + lo), the table split into ``terms`` bf16
+    residual terms. Two terms preserve ~18 bits of relative precision
+    (plenty for the float contact-count expansion); COUNT consumers
+    need ``terms=3``: a cumulative count near 2^21 carries an error up
+    to ~±16 with two terms, while three terms bound it below 2^-5 so
+    rounding recovers the exact integer (see do_vaccination)."""
     A = per_age.shape[0]
     pad = arrays.age_onehot_hi.shape[1] * 8
     t2d = jnp.zeros(pad, per_age.dtype).at[:A].set(per_age).reshape(-1, 8)
-    hi_part = t2d.astype(jnp.bfloat16)
-    lo_part = (t2d - hi_part.astype(F32)).astype(jnp.bfloat16)
-    y = (jnp.dot(arrays.age_onehot_hi, hi_part, preferred_element_type=F32)
-         + jnp.dot(arrays.age_onehot_hi, lo_part, preferred_element_type=F32))
+    y = 0.0
+    rem = t2d.astype(F32)
+    for _ in range(terms):
+        part = rem.astype(jnp.bfloat16)
+        y = y + jnp.dot(arrays.age_onehot_hi, part,
+                        preferred_element_type=F32)
+        rem = rem - part.astype(F32)
     return jnp.sum(y * arrays.age_onehot_lo.astype(F32), axis=1)
 
 
@@ -232,35 +230,10 @@ def _binomial_split(key, totals, probs):
     covariance affects no per-category mean or variance, only the joint
     fluctuation of dart totals across bands (relative effect
     O(1/sqrt(K)) on the already-noisy total), and is documented in
-    docs/parity.md. Callers that need the categories to exactly
-    partition the total (probs summing to 1) use
-    ``_binomial_split_exact`` instead."""
+    docs/parity.md (every consumer — dart splits and the
+    exposures-by-place diagnostic — accepts the marginal split)."""
     n_full = jnp.broadcast_to(totals[..., None].astype(F32), probs.shape)
     return binomial_fixed(key, n_full, probs.astype(F32))
-
-
-def _binomial_split_exact(key, totals, probs):
-    """Exact multinomial split via sequential conditional binomials
-    (the categories partition the total when probs sum to 1). Used for
-    the exposures-by-place output stat, where the place counts must sum
-    exactly to exposed_per_day; the chain serializes B sampler calls
-    under ``lax.scan`` (an unrolled chain once blew the program past
-    35k jaxpr equations)."""
-    B = probs.shape[-1]
-
-    def body(carry, xs):
-        rem, remp = carry
-        pb, k = xs
-        cond = jnp.where(remp > 1e-9, pb / jnp.maximum(remp, 1e-9), 0.0)
-        cond = jnp.clip(cond, 0.0, 1.0)
-        n_b = binomial_fixed(k, rem, cond)
-        n_b = jnp.where(rem > 0, n_b, 0.0)
-        return (rem - n_b, remp - pb), n_b
-
-    (_, _), outs = jax.lax.scan(
-        body, (totals.astype(F32), jnp.ones_like(totals, F32)),
-        (jnp.moveaxis(probs, -1, 0), jr.split(key, B)))
-    return jnp.moveaxis(outs, 0, -1)
 
 
 def _group_counts(cfg: EngineConfig, arrays: ModelArrays, masks):
@@ -542,9 +515,13 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
 
     day = carry.day
     key = jr.fold_in(base_key, day)
+    # NOTE: 17-way split with three reserved slots (_r*): they carried
+    # the removed sequential trace / no-care-death streams; dropping
+    # them would re-key every stream and shift all trajectories for no
+    # semantic reason.
     (k_contact, k_bin, k_place, k_inf, k_var, k_sev, k_gam1, k_gam2,
-     k_attr_age, k_attr_src, k_imp, k_trace1, k_trace2, k_anyway,
-     k_offset, k_nocare1, k_nocare2) = jr.split(key, 17)
+     k_attr_age, k_attr_src, k_imp, k_trace1, _r1, k_anyway,
+     k_offset, _r2, _r3) = jr.split(key, 17)
 
     age = state.age.astype(I32)
     variant = state.variant.astype(I32)
@@ -763,8 +740,11 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
                                       force=fm)[0]               # (A,)
             older = jnp.concatenate(
                 [jnp.cumsum(counts[::-1])[:-1][::-1], jnp.zeros(1, F32)])
-            older_ag = expand_by_age(arrays, older)
-            cnt_ag = expand_by_age(arrays, counts)
+            # integer counts up to ~N: 3-term expansion + rounding keeps
+            # the oldest-first boundary math exact (2-term bf16 error
+            # reaches ±16 near 2^21)
+            older_ag = jnp.round(expand_by_age(arrays, older, terms=3))
+            cnt_ag = jnp.round(expand_by_age(arrays, counts, terms=3))
             need = nr - older_ag
             u_vac = jr.uniform(jr.fold_in(k_offset, 1000 + s), (N,), F32)
             frac = jnp.clip(need / jnp.maximum(cnt_ag, 1.0), 0.0, 1.0)
@@ -1008,6 +988,10 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         src = jnp.clip(pos - off, 0, N - 1)   # age-sorted: pos = agent id
         ok = (hi_c > lo_c) & contact_p
         inf_new = jnp.where(ok, src, -1)
+        # does the source own an infectee list? (main.pyx:218-223: the
+        # edge is recorded iff the list was malloc'ed when the SOURCE
+        # was infected, not iff tracing is active today)
+        tr_src = ok & state.traceable[src]
         g1 = gamma_fixed(jr.fold_in(k_gam1, part), kappa_inc, (m,))
         g2 = gamma_fixed(jr.fold_in(k_gam2, part), kappa_o2r, (m,))
         # severity + durations per slot: (variant, severity)-dependent
@@ -1021,7 +1005,7 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         mu_o2r = jnp.where(sev_i == C.FATAL, arrays.mu_death[v_i],
                            arrays.mu_recov[v_i])
         o2r_i = g2 * (C.ONSET_TO_REMOVED_CV ** 2) * mu_o2r
-        return inf_new, sev_i, outside_i, incub_i, o2r_i
+        return inf_new, tr_src, sev_i, outside_i, incub_i, o2r_i
 
     # geometric tiers (head, 3·head, 9·head, …): a day pays only for the
     # tiers its infection count reaches
@@ -1040,6 +1024,7 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
             n_new > lo, do_seg,
             lambda _, seg=seg: (jnp.full(seg, N, I32),
                                 jnp.full(seg, -1, I32),
+                                jnp.zeros(seg, bool),
                                 jnp.zeros(seg, jnp.int8),
                                 jnp.zeros(seg, bool),
                                 jnp.zeros(seg, jnp.int16),
@@ -1048,12 +1033,12 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         lo += seg
         pidx += 1
     if len(parts) == 1:
-        (buf_agent, infector_new, sev_slot, outside_slot, incub_slot,
-         o2r_slot) = parts[0]
+        (buf_agent, infector_new, tr_slot, sev_slot, outside_slot,
+         incub_slot, o2r_slot) = parts[0]
     else:
-        (buf_agent, infector_new, sev_slot, outside_slot, incub_slot,
-         o2r_slot) = (jnp.concatenate([p[i] for p in parts])
-                      for i in range(6))
+        (buf_agent, infector_new, tr_slot, sev_slot, outside_slot,
+         incub_slot, o2r_slot) = (jnp.concatenate([p[i] for p in parts])
+                                  for i in range(7))
     slot_used = buf_agent < N
 
     def tiered_scatter(dst, idx, val, add=False):
@@ -1090,11 +1075,12 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     # severity/duration values were drawn on the slot domain and scatter
     # straight into the agent arrays (every newly agent owns one slot)
 
-    # append infectee edges (reference main.pyx:219-223: the source's
-    # list gains the infectee when contact tracing is active at
-    # infection time). Before appending, prune dead edges (removed
-    # sources) if the table would otherwise overflow.
-    e_valid = slot_used & (infector_new >= 0) & ct_active
+    # append infectee edges (reference main.pyx:218-223: the source's
+    # list gains the infectee iff the SOURCE owns a list, i.e. contact
+    # tracing was active when the source itself was infected — not iff
+    # tracing is active today). Before appending, prune dead edges
+    # (removed sources) if the table would otherwise overflow.
+    e_valid = slot_used & (infector_new >= 0) & tr_slot
     e_rank = jnp.cumsum(e_valid.astype(I32))
     n_app = e_rank[-1]
 
@@ -1144,6 +1130,9 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     days_left = tiered_scatter(days_left, buf_agent, incub_slot)
     o2r = tiered_scatter(o2r, buf_agent, o2r_slot)
     is_infected = is_infected | newly
+    # a new infectee mallocs its OWN (empty) infectee list iff contact
+    # tracing is active at its infection time (main.pyx:227-233)
+    traceable = state.traceable | (newly & ct_active)
     day_of_infection = jnp.where(newly, day.astype(jnp.int16),
                                  state.day_of_infection)
     variant_out = jnp.where(newly, variant_new, variant)
@@ -1196,6 +1185,7 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         has_immunity=has_immunity,
         was_detected=was_detected,
         queued=queued,
+        traceable=traceable,
         ever_icu=ever_icu,
         included_in_totals=included,
         active=active,

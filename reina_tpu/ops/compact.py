@@ -53,7 +53,7 @@ def compact_indices(mask, capacity: int, head: int = 1 << 12):
     parts = [part(0, kh)]
     lo = kh
     while lo < capacity:
-        seg = min(lo * 3, capacity) - lo   # tiers: head, 4·head, 16·head, …
+        seg = min(lo * 3, capacity) - lo   # tiers: head, 3·head, 9·head, …
         parts.append(jax.lax.cond(
             count > lo, lambda _, lo=lo, seg=seg: part(lo, seg),
             lambda _: jnp.full(seg, n, I32), 0))

@@ -118,9 +118,12 @@ def _binomial_btrs(key, n, p, rounds: int = 6):
         k_s = jnp.maximum(k, 0.5)
         part1 = -((m + 0.5) * jnp.log1p(d / m) + d * jnp.log(k_s)
                   - d + fc(jnp.maximum(k, 1.0)) - fc(m))
-        # k == 0 exactly: L(m) − L(0) with L(0) = 0 − 0 + lgamma(1) = 0
+        # k == 0 exactly: L(m) − L(0). By the defining identity
+        # lgamma(x+1) = .5·log(2π) + L(x), L(0) = lgamma(1) − .5·log(2π)
+        # = −0.9189385 (the Stirling FORM of L diverges at 0; only the
+        # identity value is consistent with the other branch).
         part1 = jnp.where(k < 0.5,
-                          (m + 0.5) * jnp.log(m) - m + fc(m),
+                          (m + 0.5) * jnp.log(m) - m + fc(m) + 0.9189385,
                           part1)
         # part2 = L(n−m) − L(n−k) with a = n−k, b = n−m = a+d:
         #        = (a+.5)·log1p(d/a) + d·log(b) − d + fc(b) − fc(a)
@@ -209,12 +212,12 @@ def searchsorted_fixed(sorted_arr, queries, side: str = "left",
 
 
 def tiny_level1_block(n: int, max_sub: int = 104):
-    """Largest ``block`` with ``n % block == 0`` whose strided
-    subsample ``arr[block-1::block]`` has ≤ max_sub entries — a
-    ≤~100-entry table gathers as vectorized selects (~free on this
-    TPU, docs/performance.md), so a two-level bisect through it saves
-    log2(n_sub) *gathered* rounds. Returns None when n has no such
-    divisor (prime-ish n) or the saving would be < 4 rounds."""
+    """Smallest ``block`` with ``n % block == 0`` whose strided
+    subsample ``arr[block-1::block]`` still has ≤ max_sub entries — the
+    level-1 table stays ≤~100 entries (gathers as vectorized selects,
+    ~free on this TPU, docs/performance.md) while minimizing the
+    log2(block) *gathered* level-2 rounds. Returns None when n has no
+    such divisor (prime-ish n) or the saving would be < 4 rounds."""
     for k in range(max_sub, 15, -1):
         if n % k == 0:
             return n // k

@@ -36,11 +36,15 @@ SWEEPABLE = set(DISEASE_PARAMS)
 
 
 @engine_jit(static_argnums=(0, 1))
-def _grid_scan(cfg, array_axes, arrays_b, schedules, state, carry, key):
+def _grid_scan(cfg, array_axes, arrays_b, schedules, st_b, cr_b, key):
     """Scan all days for a batch of model-array grid points.
     ``array_axes`` marks which ModelArrays fields carry a leading grid
     axis (0) vs are shared across points (None) — shared N-sized
-    population arrays are not replicated in HBM."""
+    population arrays are not replicated in HBM. ``st_b``/``cr_b``
+    arrive pre-batched: the initial state is seeded through each
+    point's OWN disease arrays (severity + duration draws of the
+    seeded agents, core/state.py seed_initial_state), so points may
+    start from different seeded conditions."""
     axes_tree = ModelArrays(*array_axes)
 
     def body(sc, row):
@@ -51,9 +55,6 @@ def _grid_scan(cfg, array_axes, arrays_b, schedules, state, carry, key):
         )(arrays_b, st_b, cr_b)
         return (st_b, cr_b), out
 
-    G = max(x.shape[0] for x, ax in zip(arrays_b, array_axes) if ax == 0)
-    st_b = jax.tree.map(lambda x: jnp.broadcast_to(x, (G,) + x.shape), state)
-    cr_b = jax.tree.map(lambda x: jnp.broadcast_to(x, (G,) + x.shape), carry)
     (st_b, cr_b), outs = jax.lax.scan(body, (st_b, cr_b), schedules)
     return cr_b, jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), outs)
 
@@ -97,8 +98,11 @@ def sweep_grid(variables: Dict[str, Any], grid: Dict[str, Sequence[Any]],
                age_counts_override=None):
     """Run every grid point; returns (points, DayOutputs, base_run) with
     leading (n_points, days-1) output axes. All points share the
-    intervention calendar, population, initial state and seed — only
-    the compiled disease arrays differ (enforced by ``grid_points``)."""
+    intervention calendar, population and seed; the compiled disease
+    arrays AND the seeded initial state differ per point (initial
+    severities/durations are drawn through each point's disease
+    arrays). Per-point setup is O(N) host work (build_run); the
+    dataset loads are calcfunc-cached across points."""
     points = grid_points(grid)
     runs: List[CompiledRun] = []
     for pt in points:
@@ -120,11 +124,22 @@ def sweep_grid(variables: Dict[str, Any], grid: Dict[str, Sequence[Any]],
     for i in range(0, len(runs), batch_size):
         chunk = runs[i:i + batch_size]
         arrays_b, axes = _batch_arrays(chunk)
+        # per-point initial conditions: seeding draws severities and
+        # durations through each point's own disease arrays, so swept
+        # severity/duration parameters change the seeded state too
+        st_b = jax.tree.map(lambda *xs: jnp.stack(xs),
+                            *(r.init_state for r in chunk))
+        cr_b = jax.tree.map(lambda *xs: jnp.stack(xs),
+                            *(r.init_carry for r in chunk))
         if placement is not None:
             arrays_b = jax.tree.map(
                 lambda x: jax.device_put(x, placement(x)), arrays_b)
+            st_b = jax.tree.map(
+                lambda x: jax.device_put(x, placement(x)), st_b)
+            cr_b = jax.tree.map(
+                lambda x: jax.device_put(x, placement(x)), cr_b)
         carry_b, outs = _grid_scan(base.cfg, axes, arrays_b, schedules,
-                                   base.init_state, base.init_carry, key)
+                                   st_b, cr_b, key)
         for problem in np.asarray(carry_b.problem):
             check_problems(int(problem))
         results.append(jax.tree.map(np.asarray, outs))

@@ -32,3 +32,8 @@ RESTRICT_TO_PRESET_SCENARIOS = bool(
     int(os.environ.get("RESTRICT_TO_PRESET_SCENARIOS", "0")))
 VARIABLE_OVERRIDE_SET = os.environ.get("VARIABLE_OVERRIDE_SET")
 MAX_CONCURRENT_RUNS = int(os.environ.get("MAX_CONCURRENT_RUNS", "16"))
+# Origins allowed credentialed cross-origin API access (comma-separated;
+# e.g. the reina-ui deployment). Unlisted origins get the reference's
+# flask-cors default: '*' without credentials.
+CORS_ORIGINS = [o.strip() for o in
+                os.environ.get("CORS_ORIGINS", "").split(",") if o.strip()]

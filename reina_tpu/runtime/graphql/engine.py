@@ -11,9 +11,12 @@ via an object's ``graphql_typename`` attribute or class name.
 """
 from __future__ import annotations
 
+import logging
 import re
 from dataclasses import dataclass, field as dfield, is_dataclass, asdict
 from typing import Any, Dict, List, Optional
+
+logger = logging.getLogger(__name__)
 
 
 class GraphQLError(Exception):
@@ -469,3 +472,13 @@ def execute(schema: Dict[str, Any], source: str,
         return {"data": data}
     except GraphQLError as e:
         return {"data": None, "errors": [{"message": str(e)}]}
+    except RecursionError:
+        return {"data": None,
+                "errors": [{"message": "query too deeply nested"}]}
+    except Exception as e:  # noqa: BLE001 — a resolver bug must surface
+        # as a spec-compliant {data, errors} envelope, not a dropped
+        # HTTP connection (graphene wraps resolver exceptions the same
+        # way; clients like graphiql/reina-ui expect JSON)
+        logger.exception("resolver error")
+        return {"data": None,
+                "errors": [{"message": "%s: %s" % (type(e).__name__, e)}]}

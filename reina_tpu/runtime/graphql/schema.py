@@ -502,18 +502,31 @@ def mutate_add_event(_root, info, event):
     return {"id": len(iv_list) - 1}
 
 
+def _norm_iv_tuple(t):
+    """Strip trailing Nones: make_iv_tuple pads omitted optional params
+    with None, while stored defaults keep the short form — both spell
+    the same intervention (the reference's exact-equality match at
+    graphql_schema.py:456-463 cannot delete its own short-form
+    defaults; normalizing fixes that bit-rot)."""
+    t = list(t)
+    while t and t[-1] is None:
+        t.pop()
+    return t
+
+
 def mutate_delete_event(_root, info, event_id):
     store = _store(info)
+    event_id = str(event_id)  # GraphQL ID may arrive as an int
     iv_objs = get_active_interventions(store.copy_all())
     for iv in iv_objs:
         if iv.id and event_id == iv.id:
             break
     else:
         raise GraphQLError("invalid intervention ID")
-    iv_tuple = iv.make_iv_tuple()
+    iv_tuple = _norm_iv_tuple(iv.make_iv_tuple())
     iv_list = list(store.get("interventions"))
     for cand in iv_list:
-        if cand == iv_tuple:
+        if _norm_iv_tuple(cand) == iv_tuple:
             iv_list.remove(cand)
             store.set("interventions", iv_list)
             return {"ok": True}

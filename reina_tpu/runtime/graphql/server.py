@@ -24,7 +24,10 @@ from .schema import SCHEMA
 from ...config.variables import DEFAULT_VARIABLE_HASH, VariableStore
 from ...utils.locale import DEFAULT_LOCALE, TRANSLATIONS, set_active_locale
 
-SECRET = os.environ.get("SECRET_KEY", "reina-tpu-dev-secret").encode()
+# via config.settings so the .env loader has run before the key is read
+from ...config import settings as _settings
+
+SECRET = _settings.SECRET_KEY.encode()
 COOKIE_NAME = "reina_session"
 
 # The IDE shell loads the graphiql bundle from a CDN in the client's
@@ -102,9 +105,19 @@ class GraphQLHandler(BaseHTTPRequestHandler):
     server_version = "reina-tpu"
 
     def _cors(self) -> None:
-        origin = self.headers.get("Origin", "*")
-        self.send_header("Access-Control-Allow-Origin", origin)
-        self.send_header("Access-Control-Allow-Credentials", "true")
+        # Reflecting every Origin WITH credentials would grant any
+        # website credentialed API access. Only allowlisted origins
+        # (settings.CORS_ORIGINS, e.g. the reina-ui deployment) get
+        # credentialed reflection; everyone else gets the reference's
+        # flask-cors default — '*' without credentials
+        # (graphql_backend.py:31 CORS(app)).
+        origin = self.headers.get("Origin")
+        if origin and origin in _settings.CORS_ORIGINS:
+            self.send_header("Access-Control-Allow-Origin", origin)
+            self.send_header("Access-Control-Allow-Credentials", "true")
+            self.send_header("Vary", "Origin")
+        else:
+            self.send_header("Access-Control-Allow-Origin", "*")
         self.send_header("Access-Control-Allow-Headers",
                          "Content-Type, Authorization")
         self.send_header("Access-Control-Allow-Methods", "GET, POST, OPTIONS")

@@ -24,13 +24,14 @@ import uuid
 from typing import Dict, Optional
 
 from . import cache
+from ..config import settings
 from ..core.engine import ExecutionInterrupted
 from ..simulation import simulate_individuals
 from ..utils.memoize import generate_cache_key
 
 logger = logging.getLogger(__name__)
 
-MAX_CONCURRENT_RUNS = 16
+MAX_CONCURRENT_RUNS = settings.MAX_CONCURRENT_RUNS
 RESULT_TTL_S = 30
 PUBLISH_INTERVAL_S = 0.5
 HEARTBEAT_S = 10.0
@@ -51,6 +52,7 @@ class SimulationThread(threading.Thread):
             simulate_individuals, var_store=variables)
         self.cache_expiration = RESULT_TTL_S
         self.cancel_event = threading.Event()
+        self.started = False  # True iff the OS thread was spawned
 
     def start(self) -> None:
         finished = cache.get("%s-finished" % self.cache_key)
@@ -60,6 +62,7 @@ class SimulationThread(threading.Thread):
             return
         cache.set("%s-error" % self.cache_key, None, self.cache_expiration)
         cache.set("%s-finished" % self.cache_key, False, self.cache_expiration)
+        self.started = True
         super().start()
 
     def cancel(self) -> None:
@@ -151,7 +154,11 @@ class RunRegistry:
             t = SimulationThread(variables)
             run_id = t.cache_key
             t.start()
-            if t.ident or not t.is_alive():
+            # dedup: when an identical config is already publishing,
+            # start() is a no-op — keep the LIVE thread registered so
+            # reap()/cancel still reach it, instead of clobbering it
+            # with the never-started duplicate
+            if t.started:
                 self._runs[run_id] = t
             return run_id
 

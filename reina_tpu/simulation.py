@@ -104,7 +104,9 @@ def simulate_individuals(step_callback: Optional[Callable] = None,
     us_rows = np.zeros(n_days, dtype=np.float64)
     chunk = max(callback_day_interval, 1) if step_callback else 32
 
-    cb_state = {"t_last": None}
+    # output row 0 is the initial snapshot (emit-then-iterate): no
+    # simulated day produced it, so the perf accounting starts at row 1
+    cb_state = {"done": 1}
 
     def day_cb(day_idx, partial):
         rows = day_idx + 1
@@ -112,7 +114,7 @@ def simulate_individuals(step_callback: Optional[Callable] = None,
         # wall-µs per infected agent per day (calc/simulation.py:212),
         # averaged over the chunk just computed
         infected = partial.by_group[:rows, _GROUP_ROW["infected"]].sum(axis=1)
-        done = cb_state.get("done", 1)
+        done = cb_state["done"]
         per_day_ms = ms / max(rows - done, 1)
         for d in range(done, rows):
             us_rows[d] = per_day_ms * 1000 / infected[d] if infected[d] else 0

@@ -93,6 +93,41 @@ def test_active_events_and_add_delete():
     assert out4["data"]["deleteEvent"]["ok"] is True
 
 
+def test_delete_short_form_default_event():
+    """Stored defaults keep the short tuple form (no trailing Nones for
+    omitted optional params); make_iv_tuple pads them — deletion must
+    match the two spellings (the reference's exact-equality comparison
+    cannot delete its own short-form defaults, a bit-rot we fix)."""
+    c = ctx()
+    out = execute(SCHEMA, "{ activeEvents { id type parameters { id } } }",
+                  context=c)
+    store_short = {i for i, t in enumerate(c["store"].get("interventions"))
+                   if t[0] == "limit-mobility" and len(t) == 3}
+    assert store_short, "fixture needs a short-form default"
+    events = out["data"]["activeEvents"]
+    ev = next(e for e in events if e["id"] == str(min(store_short)))
+    assert ev["type"] == "limit-mobility"
+    n0 = len(c["store"].get("interventions"))
+    # int-typed ID (GraphQL ID may arrive un-stringified)
+    out2 = execute(SCHEMA,
+                   "mutation { deleteEvent(eventId: %s) { ok } }" % ev["id"],
+                   context=c)
+    assert not out2.get("errors"), out2
+    assert len(c["store"].get("interventions")) == n0 - 1
+
+
+def test_resolver_crash_returns_error_envelope(monkeypatch):
+    """A resolver bug must surface as {data, errors}, not a dropped
+    connection (graphene wraps resolver exceptions the same way)."""
+    def boom(_root, _info):
+        raise RuntimeError("resolver exploded")
+
+    monkeypatch.setitem(SCHEMA["query"], "scenarios", boom)
+    out = execute(SCHEMA, "{ scenarios { id } }", context=ctx())
+    assert out["data"] is None
+    assert out["errors"] and "resolver exploded" in out["errors"][0]["message"]
+
+
 def test_area_and_scenarios():
     out = execute(SCHEMA, """
       { area { name totalPopulation ageGroups { label count } }

@@ -53,8 +53,12 @@ def test_run_and_stream(fake_sim):
 def test_dedup_same_variables(fake_sim):
     reg = runner.RunRegistry()
     r1 = reg.start_run({"random_seed": 7})
+    live = reg.get(r1)
     r2 = reg.start_run({"random_seed": 7})
     assert r1 == r2  # deterministic run identity
+    # the duplicate's thread never started — the LIVE thread must stay
+    # registered so reap()/cancel still reach it
+    assert reg.get(r1) is live
     r3 = reg.start_run({"random_seed": 8})
     assert r3 != r1
 
@@ -149,6 +153,26 @@ def test_http_server_roundtrip():
             cookie = resp.headers.get("Set-Cookie", "")
         assert out["data"]["area"]["name"] == "HUS"
         assert "reina_session=" in cookie
+    finally:
+        httpd.shutdown()
+
+
+def test_cors_not_reflected_with_credentials():
+    """Unlisted origins get '*' WITHOUT credentials (flask-cors default
+    in the reference); reflecting arbitrary origins with
+    Allow-Credentials would grant any website credentialed API access."""
+    import urllib.request
+
+    from reina_tpu.runtime.graphql.server import serve
+    httpd = serve(host="127.0.0.1", port=0, background=True)
+    port = httpd.server_address[1]
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/healthz",
+            headers={"Origin": "https://evil.example"})
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            assert resp.headers["Access-Control-Allow-Origin"] == "*"
+            assert resp.headers.get("Access-Control-Allow-Credentials") is None
     finally:
         httpd.shutdown()
 

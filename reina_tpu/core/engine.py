@@ -8,9 +8,7 @@ cache from its worker process, simulation_thread.py:38-46).
 """
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
-from functools import partial
 from typing import Any, Dict, List, Optional
 
 import jax
@@ -19,12 +17,12 @@ import jax.random as jr
 import numpy as np
 
 from . import constants as C
-from .params import (DISEASE_PARAMS, compile_disease, compile_import_ages,
+from .params import (compile_disease, compile_import_ages,
                      compile_population, create_disease_params)
 from .schedule import Schedules, compile_schedules
 from .state import (AgentState, DayCarry, blank_state, initial_all_detected,
                     seed_initial_state)
-from .step import DayOutputs, EngineConfig, ModelArrays, SchedRow, day_step, \
+from .step import EngineConfig, ModelArrays, SchedRow, day_step, \
     snapshot_outputs
 from ..config.interventions import get_active_interventions
 from ..data import loaders
@@ -98,9 +96,14 @@ def build_run(variables: Dict[str, Any],
     ages_i = pop.ages.astype(np.int32)
     band_ag = band_of_age[ages_i].astype(np.int32)
     nb_ag = pop.band_counts[band_ag].astype(np.float32)
+    # a band whose every age has p_susceptibility 0 has sigma_max 0;
+    # guard the 0/0 (p_susc is 0 too) so the intended probability-0
+    # behavior comes out instead of NaN baked into the model arrays
+    smax_ag = sigma_max[:, band_ag]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lam = disease.p_susc[:, ages_i] / (smax_ag * np.maximum(nb_ag, 1.0))
     lam_log1p_ag = np.log1p(
-        -(disease.p_susc[:, ages_i]
-          / (sigma_max[:, band_ag] * np.maximum(nb_ag, 1.0)))).astype(np.float32)
+        -np.where(smax_ag > 0, lam, 0.0)).astype(np.float32)
     age_hi = ages_i // 8
     age_lo = ages_i % 8
     n_hi = (nr_ages + 7) // 8
@@ -274,8 +277,11 @@ def run_days(run: CompiledRun, n_days: Optional[int] = None,
         # XLA fallbacks so the agent axis actually shards
         cfg = replace(cfg, pallas=False)
 
+    # day-0 row precedes intervention application (the reference emits
+    # generate_state BEFORE iterate applies start_date-dated events,
+    # calc/simulation.py:194-270), so mobility is the pristine 1.0 here
     snap = snapshot_outputs(cfg, arrays, state, carry,
-                            schedules.mobility_scalar[0])
+                            jnp.float32(1.0))
     rows = [jax.tree.map(lambda x: np.asarray(x)[None], snap)]
     day = 0
 
@@ -306,6 +312,10 @@ def run_days(run: CompiledRun, n_days: Optional[int] = None,
             this_chunk, day)
         outs = jax.tree.map(np.asarray, outs)  # blocks
         chunk_times.append((this_chunk, time.perf_counter() - t0))
+        # fail at the chunk boundary, as the reference fails at the day
+        # boundary (main.pyx:2017-2018) — don't keep burning chips on,
+        # streaming, or checkpointing a poisoned state
+        check_problems(carry)
         rows.append(outs)
         day += this_chunk
         steps_left -= this_chunk

@@ -10,7 +10,7 @@ gathers ``schedule[day]`` and no Python branching remains in the loop.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from datetime import date, timedelta
+from datetime import date
 from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import numpy as np
@@ -76,14 +76,17 @@ def compile_schedules(
     weekly_shares = np.zeros(V, dtype=np.float32)
     weekly_shares[0] = 1.0
 
-    # Vaccination slots: one per distinct (min_age, max_age) window
-    slot_keys: List[Tuple[int, int]] = []
-    slot_nr: Dict[Tuple[int, int], float] = {}
+    # Vaccination slots: one per distinct RAW (min_age, max_age) pair.
+    # The reference keys campaigns on the raw values including None
+    # (start_vaccinating, main.pyx:585-593) and normalizes only at
+    # execution (main.pyx:551-556) — so an age-less campaign and an
+    # explicit (0, max) campaign run CONCURRENTLY, they don't merge.
+    slot_keys: List[Tuple[Optional[int], Optional[int]]] = []
+    slot_nr: Dict[Tuple[Optional[int], Optional[int]], float] = {}
     for iv in interventions:
         if iv.type == "vaccinate":
             p = iv.get_param_values()
-            key = (p.get("min_age") or 0,
-                   p.get("max_age") if p.get("max_age") is not None else A - 1)
+            key = (p.get("min_age"), p.get("max_age"))
             if key not in slot_keys:
                 slot_keys.append(key)
     S = max(len(slot_keys), 1)
@@ -158,11 +161,10 @@ def compile_schedules(
                         else list(range(P)))
                 mask_state[mn:mx + 1, cols] = share
             elif t == "vaccinate":
-                key = (p.get("min_age") or 0,
-                       p.get("max_age") if p.get("max_age") is not None else A - 1)
                 # Daily count truncates weekly/7 (reference
                 # main.pyx:557,1954: int cast of weekly/7)
-                slot_nr[key] = p["weekly_vaccinations"] / 7.0
+                slot_nr[(p.get("min_age"), p.get("max_age"))] = \
+                    p["weekly_vaccinations"] / 7.0
             else:
                 raise ValueError(f"unknown intervention type: {t}")
 
@@ -183,9 +185,13 @@ def compile_schedules(
         for key, nr in slot_nr.items():
             out.vacc_nr[d, slot_keys.index(key)] = nr
 
+    # normalize None bounds only here, as the reference does at
+    # execution time (main.pyx:551-556)
     slots = VaccinationSlots(
-        min_age=np.array([k[0] for k in slot_keys] or [0], dtype=np.int32),
-        max_age=np.array([k[1] for k in slot_keys] or [0], dtype=np.int32),
+        min_age=np.array([k[0] if k[0] is not None else 0
+                          for k in slot_keys] or [0], dtype=np.int32),
+        max_age=np.array([k[1] if k[1] is not None else A - 1
+                          for k in slot_keys] or [0], dtype=np.int32),
         count=len(slot_keys),
     )
     return out, slots

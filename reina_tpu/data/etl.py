@@ -172,19 +172,13 @@ def import_vaccinations_csv(path: str, areas=DERIVED_AREAS,
     counts) → ``vaccinate`` intervention tuples, reference semantics
     (calc/datasets.py:251-275): NaN→0, drop the incomplete last week,
     one tuple per (week, age band)."""
-    import json
-
-    from .mobility import DERIVED_PATH
+    from .mobility import DERIVED_PATH, update_derived
 
     out_path = out_path or DERIVED_PATH
     with open(path, "r") as f:
         rows = list(csv.DictReader(f))
 
-    derived: dict = {"mobility": {}, "vaccinations": {}}
-    if os.path.exists(out_path):
-        z = np.load(out_path, allow_pickle=False)
-        derived = json.loads(str(z["json_blob"]))
-
+    update: dict = {}
     for area in areas:
         area_rows = sorted((r for r in rows if r.get("area") == area),
                            key=lambda r: r["date"])
@@ -203,9 +197,8 @@ def import_vaccinations_csv(path: str, areas=DERIVED_AREAS,
                 val = float(r.get(col) or 0)
                 ivs.append(["vaccinate", r["date"], int(val), lo, hi])
         if area_rows:
-            derived.setdefault("vaccinations", {})[area] = ivs
-    np.savez_compressed(out_path, json_blob=np.array(json.dumps(derived)))
-    return derived
+            update[area] = ivs
+    return update_derived({"vaccinations": update}, path=out_path)
 
 
 def import_derived(source: str) -> None:

@@ -33,6 +33,23 @@ def _derived() -> dict:
     return json.loads(str(z["json_blob"]))
 
 
+def update_derived(update: dict, path: str = DERIVED_PATH) -> dict:
+    """Merge ``update`` ({kind: {area: payload}}) into the derived
+    archive, rewrite it, and invalidate the in-process cache — the one
+    write path every ETL importer shares, so a long-lived server starts
+    serving refreshed calendars without a restart."""
+    derived: dict = {}
+    if os.path.exists(path):
+        z = np.load(path, allow_pickle=False)
+        derived = json.loads(str(z["json_blob"]))
+    for kind, areas in update.items():
+        derived.setdefault(kind, {}).update(areas)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez_compressed(path, json_blob=np.array(json.dumps(derived)))
+    _derived.cache_clear()
+    return derived
+
+
 def generate_mobility_ivs(variables: Optional[dict] = None) -> List[list]:
     """Weekly Google-mobility derived ``limit-mobility`` interventions."""
     area = (variables or {}).get("area_name") or get_variable("area_name")

@@ -11,8 +11,6 @@ from __future__ import annotations
 import argparse
 import csv
 import io
-import json
-import os
 from datetime import date, timedelta
 from typing import Dict, List, Optional
 from zipfile import ZipFile
@@ -111,15 +109,11 @@ def mobility_interventions(weekly: List[tuple]) -> List[list]:
 
 def import_zip(zip_path: str, areas: List[str], country: str = "FI",
                out_path: Optional[str] = None) -> dict:
-    from ..data.loaders import FILES_DIR
-    from ..data.mobility import DERIVED_PATH
+    from ..data.mobility import DERIVED_PATH, update_derived
 
     out_path = out_path or DERIVED_PATH
-    derived: dict = {"mobility": {}, "vaccinations": {}}
-    if os.path.exists(out_path):
-        z = np.load(out_path, allow_pickle=False)
-        derived = json.loads(str(z["json_blob"]))
-
+    mob: dict = {}
+    raw: dict = {}
     with ZipFile(zip_path) as zf:
         names = [n for n in zf.namelist()
                  if n.endswith(f"{country}_Region_Mobility_Report.csv")]
@@ -127,14 +121,11 @@ def import_zip(zip_path: str, areas: List[str], country: str = "FI",
             series: Dict[str, Dict[str, float]] = {}
             for n in sorted(names):
                 series.update(read_region_series(zf.read(n), area))
-            derived.setdefault("mobility", {})[area] = \
-                mobility_interventions(weekly_means(series))
-            derived.setdefault("mobility_raw", {})[area] = \
-                raw_daily_series(series)
+            mob[area] = mobility_interventions(weekly_means(series))
+            raw[area] = raw_daily_series(series)
 
-    os.makedirs(FILES_DIR, exist_ok=True)
-    np.savez_compressed(out_path, json_blob=np.array(json.dumps(derived)))
-    return derived
+    return update_derived({"mobility": mob, "mobility_raw": raw},
+                          path=out_path)
 
 
 def main() -> None:

@@ -9,12 +9,8 @@ vaccinations per (area, age band). The reference fetches these from
 from __future__ import annotations
 
 import argparse
-import json
-import os
-from datetime import date, timedelta
+from datetime import date
 from typing import Dict, List, Optional
-
-import numpy as np
 
 from .jsonstat import parse
 
@@ -94,23 +90,12 @@ def vaccination_interventions(rows: List[dict], area: str) -> List[list]:
 
 
 def update_vaccination_data(payload_path: str, areas: List[str]) -> dict:
-    from ..data.loaders import FILES_DIR
-    from ..data.mobility import DERIVED_PATH
+    from ..data.mobility import update_derived
 
     with open(payload_path, "rb") as f:
         rows = parse_vaccinations(f.read())
-
-    derived: dict = {"mobility": {}, "vaccinations": {}}
-    if os.path.exists(DERIVED_PATH):
-        z = np.load(DERIVED_PATH, allow_pickle=False)
-        derived = json.loads(str(z["json_blob"]))
-    for area in areas:
-        derived.setdefault("vaccinations", {})[area] = \
-            vaccination_interventions(rows, area)
-    os.makedirs(FILES_DIR, exist_ok=True)
-    np.savez_compressed(DERIVED_PATH,
-                        json_blob=np.array(json.dumps(derived)))
-    return derived
+    return update_derived({"vaccinations": {
+        area: vaccination_interventions(rows, area) for area in areas}})
 
 
 def main() -> None:

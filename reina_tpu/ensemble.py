@@ -18,7 +18,6 @@ parallel/mesh.py) with each process running the sequential path.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, List, Optional
 
 import jax
@@ -28,7 +27,6 @@ import numpy as np
 
 from .core.engine import CompiledRun, build_run, check_problems
 from .core.step import SchedRow, day_step
-from .core.state import DayCarry
 
 
 from .utils.compile import engine_jit
@@ -87,6 +85,12 @@ def run_ensemble(run: CompiledRun, seeds: List[int],
             results.append(jax.tree.map(
                 lambda x: np.asarray(x)[None, 1:], out1))
             continue
+        # pad a ragged final chunk by repeating the last seed: a smaller
+        # batch axis would force a second full compile of the vmapped
+        # engine program (1-18 min on TPU; on CPU it burns one of the
+        # few big compiles before the known jaxlib segfault)
+        n_real = len(chunk)
+        chunk = list(chunk) + [chunk[-1]] * (batch_size - n_real)
         keys = jnp.stack([jr.PRNGKey(s) for s in chunk])
         if placement is not None:
             keys = jax.device_put(keys, placement(keys))
@@ -97,9 +101,10 @@ def run_ensemble(run: CompiledRun, seeds: List[int],
         st_b, cr_b, outs = _ensemble_scan(
             replace(run.cfg, pallas=False), run.arrays, schedules,
             run.init_state, run.init_carry, keys)
-        for problem in np.asarray(cr_b.problem):
+        for problem in np.asarray(cr_b.problem)[:n_real]:
             check_problems(int(problem))
-        results.append(jax.tree.map(np.asarray, outs))
+        results.append(jax.tree.map(
+            lambda x: np.asarray(x)[:n_real], outs))
     return jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *results)
 
 

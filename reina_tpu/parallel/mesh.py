@@ -84,6 +84,12 @@ def _agent_placement(mesh: Mesh, n: int):
     def placement(x):
         if hasattr(x, "shape") and np.ndim(x) >= 1 and x.shape[0] == n:
             spec = P("agent", *([None] * (np.ndim(x) - 1)))
+        elif (hasattr(x, "shape") and np.ndim(x) >= 2
+              and x.shape[1] == n):
+            # (V, N) per-agent tables (lam_log1p_ag): shard the agent
+            # axis, replicate the small leading axis — otherwise each
+            # chip holds the full table and GSPMD reshards it every day
+            spec = P(None, "agent", *([None] * (np.ndim(x) - 2)))
         else:
             spec = P()
         return jax.device_put(x, NamedSharding(mesh, spec))

@@ -112,6 +112,23 @@ def test_schedule_vaccination_slots():
     assert slots.min_age[1] == 20 and slots.max_age[1] == 40
 
 
+def test_schedule_vaccination_raw_key_campaigns():
+    """Campaign identity is the RAW (min_age, max_age) pair: the
+    reference keys on the unnormalized values (main.pyx:585-593) and
+    normalizes None only at execution (main.pyx:551-556), so an
+    age-less campaign and an explicit (0, max) campaign run
+    CONCURRENTLY instead of the second replacing the first."""
+    sched, slots = _sched([
+        ["vaccinate", "2020-02-20", 700],            # (None, None)
+        ["vaccinate", "2020-02-25", 1400, 0, 100],   # explicit full range
+    ])
+    assert slots.count == 2
+    np.testing.assert_allclose(sched.vacc_nr[10, 0], 100.0)  # still running
+    np.testing.assert_allclose(sched.vacc_nr[10, 1], 200.0)
+    # normalized bounds agree at execution time
+    assert slots.min_age[0] == 0 and slots.min_age[1] == 0
+
+
 def test_iv_tuple_roundtrip():
     iv = iv_tuple_to_obj(["limit-mobility", "2020-03-01", 45, 7, 12, "school"])
     assert iv.get_param_values() == {

@@ -22,16 +22,46 @@ TPU_COMPILER_OPTIONS: Dict[str, Any] = {
 }
 
 
+def host_cpu_fingerprint() -> str:
+    """Short digest of the host CPU's feature set. XLA:CPU cache
+    entries are AOT machine code compiled for the build host's exact
+    features; jax's cache key does NOT include them, so a cache
+    directory shared across heterogeneous machines serves foreign
+    executables whose load SIGILLs/segfaults (observed: cpu_aot_loader
+    'machine type ... doesn't match' warnings, then a segfault inside
+    get_executable_and_time mid-suite)."""
+    import hashlib
+    import platform
+    feat = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feat += " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(feat.encode()).hexdigest()[:10]
+
+
 def enable_persistent_cache(cache_dir: Optional[str] = None) -> str:
     """Point jax's persistent compilation cache at a shared directory so
     second-process runs (bench, CLI, server) skip the multi-minute TPU
     compile. Tests use the same directory via tests/conftest.py. Safe to
-    call more than once; returns the directory used."""
+    call more than once; returns the directory used.
+
+    When the CPU platform is forced (tests, dryruns, CPU servers), the
+    cache lives in a per-host-CPU subdirectory — see
+    ``host_cpu_fingerprint``. TPU executables are device binaries and
+    stay in the shared root."""
     if cache_dir is None:
         cache_dir = os.environ.get(
             "REINA_JAX_CACHE",
             os.path.join(os.path.dirname(os.path.dirname(
                 os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
+        if jax.config.jax_platforms == "cpu":
+            cache_dir = os.path.join(
+                cache_dir, "cpu-%s" % host_cpu_fingerprint())
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

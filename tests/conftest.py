@@ -12,9 +12,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# Per-host-CPU cache subdirectory: the repo's .jax_cache travels across
+# heterogeneous machines, and loading another machine's XLA:CPU AOT
+# executables segfaults (see utils/compile.host_cpu_fingerprint).
+from reina_tpu.utils.compile import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
 
 import pytest  # noqa: E402
 

@@ -24,21 +24,19 @@ __version__ = "0.1.0"
 def _enable_compilation_cache() -> None:
     """Persist compiled XLA programs across processes (compiles of the
     full day-step program take minutes on TPU; repeat runs of the same
-    shapes should be instant). Opt out with REINA_NO_JAX_CACHE=1."""
+    shapes should be instant). Opt out with REINA_NO_JAX_CACHE=1.
+
+    Routed through utils.compile.enable_persistent_cache so CPU-forced
+    processes get the per-host-CPU subdirectory (foreign machines'
+    XLA:CPU AOT executables segfault at load)."""
     import os
 
     if os.environ.get("REINA_NO_JAX_CACHE"):
         return
     try:
-        import jax
+        from .utils.compile import enable_persistent_cache
 
-        cache_dir = os.environ.get(
-            "REINA_JAX_CACHE_DIR",
-            os.path.join(os.path.dirname(os.path.dirname(__file__)),
-                         ".jax_cache"))
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        enable_persistent_cache()
     except Exception:
         pass
 

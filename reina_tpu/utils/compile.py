@@ -55,10 +55,11 @@ def enable_persistent_cache(cache_dir: Optional[str] = None) -> str:
     ``host_cpu_fingerprint``. TPU executables are device binaries and
     stay in the shared root."""
     if cache_dir is None:
-        cache_dir = os.environ.get(
-            "REINA_JAX_CACHE",
-            os.path.join(os.path.dirname(os.path.dirname(
-                os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
+        cache_dir = (os.environ.get("REINA_JAX_CACHE")
+                     or os.environ.get("REINA_JAX_CACHE_DIR")
+                     or os.path.join(os.path.dirname(os.path.dirname(
+                         os.path.dirname(os.path.abspath(__file__)))),
+                         ".jax_cache"))
         if jax.config.jax_platforms == "cpu":
             cache_dir = os.path.join(
                 cache_dir, "cpu-%s" % host_cpu_fingerprint())

@@ -141,3 +141,28 @@ def test_edge_table_pruning_and_overflow():
                                          "edge_head": 8})
     with pytest.raises(C.SimulationFailed, match="tracing buffer"):
         run_days(run2, chunk_days=8)
+
+
+def test_expand_by_age_count_exactness():
+    """terms=3 + rounding recovers exact integers for cumulative counts
+    near 2^21 (two bf16 residual terms carry up to ~±16 there — the
+    vaccination oldest-first boundary math depends on exactness)."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+
+    from reina_tpu.core.step import expand_by_age
+
+    rng = np.random.default_rng(0)
+    A = 101
+    ages = rng.integers(0, A, size=4096)
+    arrays = types.SimpleNamespace(
+        age_onehot_hi=jax.nn.one_hot(ages // 8, (A + 7) // 8,
+                                     dtype=jnp.bfloat16),
+        age_onehot_lo=jax.nn.one_hot(ages % 8, 8, dtype=jnp.bfloat16))
+    # worst-case magnitudes: counts spanning the full HUS cumulative range
+    table = rng.integers(0, 1_700_000, size=A).astype(np.float32)
+    got = np.round(np.asarray(
+        expand_by_age(arrays, jnp.asarray(table), terms=3)))
+    np.testing.assert_array_equal(got, table[ages])

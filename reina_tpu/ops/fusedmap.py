@@ -135,8 +135,22 @@ def _onehot_bf16(code, n_cat: int):
     return (code[:, None] == iota).astype(jnp.float32).astype(jnp.bfloat16)
 
 
+def _row_dots(cols, oh):
+    """One (1, m)×(m, n_b) dot per part, sharing one one-hot rhs.
+    Inside a Mosaic kernel every (m, 1) column pads to (m, 128) lanes,
+    so concatenating K columns into an (m, K) lhs allocated K padded
+    copies and blew the 16 MB scoped-vmem budget; (1, m) row vectors
+    add no lane padding and the K dots reuse the same rhs tile."""
+    return jnp.concatenate([
+        jax.lax.dot_general(
+            c.astype(jnp.float32).astype(jnp.bfloat16).reshape(1, -1),
+            oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        for c in cols], axis=0)                           # (K, n_b)
+
+
 def fused_onehot_sum(parts, code_b, n_b: int,
-                     max_block: int = 16384, force: str | None = None):
+                     max_block: int = 8192, force: str | None = None):
     """out[k, b] = sum_i parts[k][i] * [code_b[i] == b] as blockwise
     MXU dots, WITHOUT materializing the (N, K) mask stack or the
     (N, n_b) one-hot in HBM (each cost an N-pass of write+read per
@@ -155,8 +169,11 @@ def fused_onehot_sum(parts, code_b, n_b: int,
     code_b = code_b.astype(jnp.int32)
 
     def lhs_block(cols):
+        # cast to f32 BEFORE inserting the minor dim: Mosaic only
+        # supports non-no-op minor-dim reshapes for 32-bit types
+        # (bool masks otherwise die in tpu.reshape on i1 vectors)
         return jnp.concatenate(
-            [c[:, None].astype(jnp.float32).astype(jnp.bfloat16)
+            [c.astype(jnp.float32)[:, None].astype(jnp.bfloat16)
              for c in cols], axis=1)                      # (m, K) bf16
 
     use_pallas = force == "pallas" or (
@@ -173,11 +190,8 @@ def fused_onehot_sum(parts, code_b, n_b: int,
 
     def kernel(code_ref, *refs):
         part_refs, o_ref = refs[:K], refs[K]
-        acc = jax.lax.dot_general(
-            lhs_block([r[...] for r in part_refs]),
-            _onehot_bf16(code_ref[...], n_b),
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        acc = _row_dots([r[...] for r in part_refs],
+                        _onehot_bf16(code_ref[...], n_b))
 
         @pl.when(pl.program_id(0) == 0)
         def _init():
@@ -198,7 +212,7 @@ def fused_onehot_sum(parts, code_b, n_b: int,
 
 
 def fused_fn_onehot_sum(fields, mask_fn, n_masks: int, code_b, n_b: int,
-                        max_block: int = 16384, force: str | None = None):
+                        max_block: int = 8192, force: str | None = None):
     """out[k, b] = sum_i mask_fn(*fields)[k][i] * [code_b[i] == b] with
     the K masks computed INSIDE the kernel from the raw field streams.
 
@@ -214,8 +228,9 @@ def fused_fn_onehot_sum(fields, mask_fn, n_masks: int, code_b, n_b: int,
     code_b = code_b.astype(jnp.int32)
 
     def lhs_block(cols):
+        # f32 cast before the minor-dim insert (see fused_onehot_sum)
         return jnp.concatenate(
-            [c[:, None].astype(jnp.float32).astype(jnp.bfloat16)
+            [c.astype(jnp.float32)[:, None].astype(jnp.bfloat16)
              for c in cols], axis=1)                      # (m, K) bf16
 
     use_pallas = force == "pallas" or (
@@ -236,10 +251,7 @@ def fused_fn_onehot_sum(fields, mask_fn, n_masks: int, code_b, n_b: int,
     def kernel(code_ref, *refs):
         f_refs, o_ref = refs[:n_f], refs[n_f]
         masks = mask_fn(*(r[...] for r in f_refs))
-        acc = jax.lax.dot_general(
-            lhs_block(masks), _onehot_bf16(code_ref[...], n_b),
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        acc = _row_dots(masks, _onehot_bf16(code_ref[...], n_b))
 
         @pl.when(pl.program_id(0) == 0)
         def _init():
@@ -271,11 +283,17 @@ def _hs_prefix_block(x):
         pad = jnp.zeros((rows, k), x.dtype)
         x = x + jnp.concatenate([pad, x[:, :lanes - k]], axis=1)
         k *= 2
-    t = x[:, lanes - 1:]                       # (rows, 1) row totals
+    # lane-broadcast the (rows, 1) row-totals column before the row
+    # scan: the slice at lane 127 carries a lane-offset layout Mosaic
+    # cannot concatenate on dim 0 ("result/input offset mismatch on
+    # non-concat dimension"); the replicated array is offset-0. Every
+    # lane performs the identical adds, so outputs are bit-identical
+    # to the column formulation.
+    t = jnp.broadcast_to(x[:, lanes - 1:], (rows, lanes))
     r = t
     k = 1
     while k < rows:
-        pad = jnp.zeros((k, 1), x.dtype)
+        pad = jnp.zeros((k, lanes), x.dtype)
         r = r + jnp.concatenate([pad, r[:rows - k, :]], axis=0)
         k *= 2
     return x + (r - t)                         # exclusive row prefix
@@ -376,7 +394,7 @@ def fused_concat_prefix(weights, codes, n_seg: int,
 
 
 def fused_bihistogram(code_a, n_a: int, weights, code_b, n_b: int,
-                      max_block: int = 16384, force: str | None = None):
+                      max_block: int = 8192, force: str | None = None):
     """out[a, b] = sum_i weights[i] * [code_a[i] == a] * [code_b[i] == b]
     as blockwise MXU dots without materializing either (N, n_cat)
     one-hot in HBM (the XLA path for the (vts, age) dart aggregation

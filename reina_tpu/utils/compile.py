@@ -19,6 +19,10 @@ import jax
 
 TPU_COMPILER_OPTIONS: Dict[str, Any] = {
     "xla_tpu_force_delay_over_memory_pressure": "false",
+    # headroom for the blockwise MXU one-hot kernels: their (block, 128)
+    # lane-padded intermediates exceed the default 16 MB scoped-vmem
+    # budget at large block sizes (v5e has 128 MB of VMEM total)
+    "xla_tpu_scoped_vmem_limit_kib": "49152",
 }
 
 

@@ -848,7 +848,7 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     granted2, after2 = clamped_counter_grants(
         jnp.stack([hosp_end.astype(I32), icu_end.astype(I32)], axis=1),
         jnp.stack([bed_request, icu_request], axis=1),
-        jnp.stack([beds_avail, icu_avail]), offset)
+        jnp.stack([beds_avail, icu_avail]), offset, force=fm)
     granted_bed, granted_icu = granted2[:, 0], granted2[:, 1]
     beds_after, icu_after = after2[0], after2[1]
 

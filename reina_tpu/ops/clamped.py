@@ -28,15 +28,163 @@ balance.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
+
+from .fusedmap import LANE, _hs_prefix_block, _is_tpu, _largest_block
 
 _NEG = -(1 << 30)  # python int: a module-scope jnp scalar would force
 #                   jax backend init at import (hangs when the TPU
 #                   tunnel is down before the server can even bind)
 
 
-def clamped_counter_grants(releases, requests, init, offset):
+def _hs_max_block(x):
+    """Inclusive prefix MAX of a (rows, LANE) block in flat row-major
+    order (Hillis-Steele shift-maxes, the max-monoid twin of
+    fusedmap._hs_prefix_block). Integer inputs — exact under any
+    association, so kernel and fallback agree bit-for-bit."""
+    rows, lanes = x.shape
+    k = 1
+    while k < lanes:
+        pad = jnp.full((rows, k), _NEG, x.dtype)
+        x = jnp.maximum(x, jnp.concatenate([pad, x[:, :lanes - k]], axis=1))
+        k *= 2
+    # lane-broadcast the row-totals column (offset-0 layout; a lane-127
+    # slice cannot be concatenated on dim 0 in Mosaic — see fusedmap)
+    t = jnp.broadcast_to(x[:, lanes - 1:], (rows, lanes))
+    # exclusive row-prefix max of the totals: scan the down-shifted rows
+    r = jnp.concatenate([jnp.full((1, lanes), _NEG, x.dtype),
+                         t[:rows - 1]], axis=0)
+    k = 1
+    while k < rows:
+        pad = jnp.full((k, lanes), _NEG, x.dtype)
+        r = jnp.maximum(r, jnp.concatenate([pad, r[:rows - k]], axis=0))
+        k *= 2
+    return jnp.maximum(x, r)
+
+
+def _shift1(x, fill):
+    """Shift a (rows, LANE) block one element later in flat row-major
+    order; position 0 receives ``fill``."""
+    rows, lanes = x.shape
+    last = jnp.broadcast_to(x[:, lanes - 1:], (rows, lanes))
+    prev = jnp.concatenate([jnp.full((1, lanes), fill, x.dtype),
+                            last[:rows - 1]], axis=0)
+    return jnp.concatenate([prev[:, :1], x[:, :lanes - 1]], axis=1)
+
+
+def _grants_streaming(releases, requests, init, offset, interpret=False):
+    """Single-pass streaming formulation of the ledger scans: ONE Pallas
+    kernel reads each release/request byte once and emits, per ledger,
+
+      U[i]  = s_excl[i] + rel[i]                     (i32)
+      rm[i] = rm_a_excl[i]  if i >= offset           (i32)
+              rm_f_excl[i]  otherwise
+
+    (the only running-max each position consults). The device trace had
+    the XLA path's 6 separate 1-D reduce-window scans at ~3 ms/day at
+    HUS scale; the streaming kernel carries (sum, masked-max, max) per
+    ledger in SMEM and pays one read + two writes of HBM traffic.
+
+    Every boundary scalar the closed form needs comes back out of U/rm
+    with single-element gathers (no scalar outputs):
+      s_tot    = U[N-1] - req[N-1]          (s_incl = U - req)
+      rm_a_end = max(rm[N-1], key[N-1])
+      c_off    = U[offset] - rel[offset]
+      rm_f_excl[offset] = max(rm[offset-1], key[offset-1])  (NEG if 0)
+
+    All-integer arithmetic — bit-identical to the reduce-window path by
+    exactness, verified by tests/test_clamped.py against both."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, L = releases.shape
+    R = n // LANE
+    blk = _largest_block(R, 512, 8)
+    G = R // blk
+
+    def kernel(*refs):
+        off_ref = refs[0]
+        rel_refs = refs[1:1 + L]
+        req_refs = refs[1 + L:1 + 2 * L]
+        u_refs = refs[1 + 2 * L:1 + 3 * L]
+        rm_refs = refs[1 + 3 * L:1 + 4 * L]
+        acc_ref = refs[-1]                      # SMEM (L, 3) carries
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _init():
+            for led in range(L):
+                acc_ref[led, 0] = 0             # running sum of a
+                acc_ref[led, 1] = _NEG          # running max of key_a
+                acc_ref[led, 2] = _NEG          # running max of key
+
+        pos = (g * blk * LANE
+               + lax.broadcasted_iota(jnp.int32, (blk, LANE), 0) * LANE
+               + lax.broadcasted_iota(jnp.int32, (blk, LANE), 1))
+        in_a = pos >= off_ref[0, 0]
+
+        for led in range(L):
+            rel = rel_refs[led][...].astype(jnp.int32)
+            req = req_refs[led][...].astype(jnp.int32)
+            a = rel - req
+            s0 = acc_ref[led, 0]
+            s_incl = _hs_prefix_block(a) + s0
+            s_excl = s_incl - a
+            key = jnp.where(req == 1, 0, _NEG) - s_incl
+            key_a = jnp.where(in_a, key, _NEG)
+            rma_x = jnp.maximum(_shift1(_hs_max_block(key_a), _NEG),
+                                acc_ref[led, 1])
+            rmf_x = jnp.maximum(_shift1(_hs_max_block(key), _NEG),
+                                acc_ref[led, 2])
+            u_refs[led][...] = s_excl + rel
+            rm_refs[led][...] = jnp.where(in_a, rma_x, rmf_x)
+            acc_ref[led, 0] = s0 + jnp.sum(a)
+            acc_ref[led, 1] = jnp.maximum(acc_ref[led, 1], jnp.max(key_a))
+            acc_ref[led, 2] = jnp.maximum(acc_ref[led, 2], jnp.max(key))
+
+    bs = pl.BlockSpec((blk, LANE), lambda g: (g, 0))
+    off2 = jnp.asarray(offset, jnp.int32).reshape(1, 1)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        out_shape=[jax.ShapeDtypeStruct((R, LANE), jnp.int32)
+                   for _ in range(2 * L)],
+        in_specs=[pl.BlockSpec((1, 1), lambda g: (0, 0))]
+        + [bs] * (2 * L),
+        out_specs=[bs] * (2 * L),
+        scratch_shapes=[pltpu.SMEM((L, 3), jnp.int32)],
+        interpret=interpret,
+    )(off2, *(releases[:, led].reshape(R, LANE) for led in range(L)),
+      *(requests[:, led].reshape(R, LANE) for led in range(L)))
+    U = jnp.stack([o.reshape(n) for o in outs[:L]], axis=1)
+    rm = jnp.stack([o.reshape(n) for o in outs[L:]], axis=1)
+
+    relv = releases.astype(jnp.int32)
+    reqv = requests.astype(jnp.int32)
+    key_at = lambda i: jnp.where(reqv[i] == 1, 0, _NEG) - (U[i] - reqv[i])
+    s_tot = U[n - 1] - reqv[n - 1]                              # (L,)
+    rm_a_end = jnp.maximum(rm[n - 1], key_at(n - 1))
+    c_off = U[offset] - relv[offset]
+    om1 = jnp.clip(offset - 1, 0, n - 1)
+    rmb_end = jnp.where(offset > 0,
+                        jnp.maximum(rm[om1], key_at(om1)), _NEG)
+
+    base_a = init.astype(jnp.int32) - c_off
+    final_a = s_tot + jnp.maximum(base_a, rm_a_end)
+    final_b = c_off + jnp.maximum(final_a, rmb_end)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    in_a_v = (idx >= offset)[:, None]
+    arriving_p = U + jnp.where(in_a_v,
+                               jnp.maximum(base_a[None], rm),
+                               jnp.maximum(final_a[None], rm))
+    granted = requests & (arriving_p > 0)
+    return granted, final_b
+
+
+def clamped_counter_grants(releases, requests, init, offset,
+                           force=None):
     """Grant/deny requests against a clamped counter in cyclic sweep order.
 
     Args:
@@ -77,6 +225,16 @@ def clamped_counter_grants(releases, requests, init, offset):
         init = init.reshape(init.shape or (1,)) if init.ndim == 0 \
             else init[..., None]
     L = releases.shape[1]
+
+    use_pallas = force in ("pallas", "interpret") or (
+        force is None and _is_tpu() and n % (8 * LANE) == 0)
+    if use_pallas:
+        granted, final = _grants_streaming(
+            releases, requests, init, offset,
+            interpret=force == "interpret")
+        if squeeze:
+            return granted[:, 0], final[0]
+        return granted, final
 
     idx = jnp.arange(n, dtype=jnp.int32)
     in_a = idx >= offset

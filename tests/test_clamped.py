@@ -50,6 +50,35 @@ def test_scarcity_grants_exactly_available():
     assert g[17] and g[(17 + 9) % n] and not g[(17 + 10) % n]
 
 
+def test_streaming_kernel_matches_xla_path():
+    """The single-pass Pallas formulation (interpret mode on CPU) is
+    bit-identical to the reduce-window path AND to the sequential sweep
+    at a kernel-eligible size (n a multiple of 1024)."""
+    rng = np.random.default_rng(3)
+    n = 2048
+    for trial, offset in enumerate([0, 1, 777, n - 1,
+                                    int(rng.integers(0, n))]):
+        releases = rng.integers(0, 2, (n, 2)).astype(np.int32)
+        requests = rng.random((n, 2)) < 0.3
+        init = rng.integers(0, 6, 2).astype(np.int32)
+        got_g, got_b = clamped_counter_grants(
+            jnp.asarray(releases), jnp.asarray(requests),
+            jnp.asarray(init), jnp.int32(offset), force="interpret")
+        ref_g, ref_b = clamped_counter_grants(
+            jnp.asarray(releases), jnp.asarray(requests),
+            jnp.asarray(init), jnp.int32(offset), force="xla")
+        np.testing.assert_array_equal(np.asarray(got_g), np.asarray(ref_g),
+                                      err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(np.asarray(got_b), np.asarray(ref_b))
+        for led in range(2):
+            want_g, want_b = sequential(releases[:, led], requests[:, led],
+                                        int(init[led]), offset)
+            np.testing.assert_array_equal(
+                np.asarray(got_g)[:, led], want_g,
+                err_msg=f"trial {trial} led {led}")
+            assert int(np.asarray(got_b)[led]) == want_b, (trial, led)
+
+
 def test_two_ledger_batch_matches_sequential():
     """The (N, L) multi-ledger path (beds + ICU ride one call in the
     engine) matches per-ledger sequential sweeps."""

@@ -136,17 +136,20 @@ def _onehot_bf16(code, n_cat: int):
 
 
 def _row_dots(cols, oh):
-    """One (1, m)×(m, n_b) dot per part, sharing one one-hot rhs.
-    Inside a Mosaic kernel every (m, 1) column pads to (m, 128) lanes,
-    so concatenating K columns into an (m, K) lhs allocated K padded
-    copies and blew the 16 MB scoped-vmem budget; (1, m) row vectors
-    add no lane padding and the K dots reuse the same rhs tile."""
-    return jnp.concatenate([
-        jax.lax.dot_general(
-            c.astype(jnp.float32).astype(jnp.bfloat16).reshape(1, -1),
-            oh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        for c in cols], axis=0)                           # (K, n_b)
+    """ONE (K, m)×(m, n_b) dot sharing one one-hot rhs. Inside a Mosaic
+    kernel every (m, 1) column pads to (m, 128) lanes, so concatenating
+    K columns into an (m, K) lhs allocated K padded copies and blew the
+    16 MB scoped-vmem budget; the TRANSPOSED (K, m) stack pads only K
+    rows to the sublane multiple (~free) and needs no layout transpose
+    for the standard A(K×m)·B(m×n_b) contraction — one MXU pass where
+    K separate (1, m) row dots each wasted 127/128 of the systolic
+    array's M rows. Exact-integer f32 accumulation, so the batched dot
+    is bit-identical to the per-row dots."""
+    lhs = jnp.concatenate(
+        [c.astype(jnp.float32).reshape(1, -1) for c in cols],
+        axis=0).astype(jnp.bfloat16)                      # (K, m)
+    return jax.lax.dot_general(lhs, oh, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
 
 
 def fused_onehot_sum(parts, code_b, n_b: int,
@@ -411,12 +414,14 @@ def fused_bihistogram(code_a, n_a: int, weights, code_b, n_b: int,
     weights = weights.astype(jnp.float32)
 
     def block_dot(ca, w, cb):
-        # weight multiply in f32, cast at the end: Mosaic has no 16-bit
-        # vector arithmetic (module docstring); values are exact either
-        # way (ints <= 128)
+        # the weight multiply folds INTO the one-hot select (one fewer
+        # f32 pass than onehot-then-multiply); compute stays f32 with a
+        # cast at the end — Mosaic has no 16-bit vector arithmetic
+        # (module docstring) — and values are exact either way
+        # (ints <= 128)
         iota = jax.lax.broadcasted_iota(jnp.int32, (ca.shape[0], n_a), 1)
-        lhs = ((ca[:, None] == iota).astype(jnp.float32)
-               * w[:, None]).astype(jnp.bfloat16)
+        lhs = jnp.where(ca[:, None] == iota, w[:, None],
+                        jnp.zeros((), jnp.float32)).astype(jnp.bfloat16)
         return jax.lax.dot_general(
             lhs, _onehot_bf16(cb, n_b), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)           # (n_a, n_b)

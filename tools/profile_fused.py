@@ -120,7 +120,7 @@ def main():
         def f4(w, _s):
             s = _s
             for i in range(K):
-                r = fused_concat_prefix(w + (s & 0), None, 1, force=force)
+                r = fused_concat_prefix(w + (s * 0), None, 1, force=force)
                 s = r[-1]
             return s
         bench(f"concat_prefix[none,{force}]", K, f4, wf, jnp.float32(0))

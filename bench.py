@@ -73,12 +73,17 @@ def main() -> None:
 
     agent_days_per_sec = run.n_agents * day / wall
     target_wall_s = 1.0
-    print(json.dumps({
+    record = {
         "metric": "hus_365d_agent_days_per_sec_per_chip",
         "value": round(agent_days_per_sec, 1),
         "unit": "agent-days/s/chip",
         "vs_baseline": round(target_wall_s / wall, 3),
-    }))
+    }
+    if os.environ.get("REINA_PALLAS") == "0":
+        # the retry path engaged: a Mosaic compile failure silently cost
+        # the Pallas kernels — make that loud in the recorded artifact
+        record["pallas"] = "FALLBACK"
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

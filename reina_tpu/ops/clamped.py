@@ -87,6 +87,16 @@ def _grants_streaming(releases, requests, init, offset, interpret=False):
     HUS scale; the streaming kernel carries (sum, masked-max, max) per
     ledger in SMEM and pays one read + two writes of HBM traffic.
 
+    Bit-identity caveat: only the RETURNED (granted, final) pair is
+    bit-identical to the reduce-window path. The intermediate rm stream
+    saturates at _NEG for all-sentinel prefixes (keys at non-request
+    positions are _NEG − s_incl, which drops below _NEG when s_incl > 0,
+    and the Hillis-Steele pads / _shift1 / SMEM-carry fills clamp the
+    running max up to _NEG where lax.cummax would carry the true
+    sub-_NEG value). Every consumer here maxes rm against a real balance
+    that dwarfs _NEG, so the grant math is unaffected — but rm/U must
+    only ever be consumed via max() against real balances.
+
     Every boundary scalar the closed form needs comes back out of U/rm
     with single-element gathers (no scalar outputs):
       s_tot    = U[N-1] - req[N-1]          (s_incl = U - req)
@@ -100,6 +110,11 @@ def _grants_streaming(releases, requests, init, offset, interpret=False):
     from jax.experimental.pallas import tpu as pltpu
 
     n, L = releases.shape
+    # force="pallas" on an ineligible size would give blk ∤ R: G = R//blk
+    # truncates and the tail rows are never written by any grid step —
+    # fail loudly instead of returning uninitialized grants
+    assert n % (8 * LANE) == 0, (
+        f"_grants_streaming needs n % {8 * LANE} == 0, got n={n}")
     R = n // LANE
     blk = _largest_block(R, 512, 8)
     G = R // blk

@@ -60,7 +60,8 @@ def fused_map(fn: Callable, n_out: int, arrays: Sequence[jnp.ndarray],
       n_out: number of outputs (dtypes from an abstract eval of fn).
       arrays: (N,) device arrays, all the same length.
       smalls: traced scalars / small tables, replicated to every block.
-      force: "pallas" | "xla" | None (auto).
+      force: "pallas" | "xla" | "interpret" | None (auto); "interpret"
+        runs the kernel logic through the Pallas interpreter (CPU CI).
 
     Returns: tuple of n_out (N,) arrays.
     """
@@ -69,7 +70,8 @@ def fused_map(fn: Callable, n_out: int, arrays: Sequence[jnp.ndarray],
         assert a.shape == (N,), (a.shape, N)
     smalls2 = [_as_2d(s) for s in smalls]
 
-    use_pallas = force == "pallas" or (
+    interpret = force == "interpret"
+    use_pallas = interpret or force == "pallas" or (
         force is None and _is_tpu() and N % (8 * LANE) == 0)
     if not use_pallas:
         out = fn(*arrays, *smalls2)
@@ -115,6 +117,7 @@ def fused_map(fn: Callable, n_out: int, arrays: Sequence[jnp.ndarray],
             pl.BlockSpec(s.shape, lambda i, nd=s.ndim: (0,) * nd)
             for s in smalls2],
         out_specs=[bs] * n_out,
+        interpret=interpret,
     )(*(a.reshape(R, LANE) for a in arrays), *smalls2)
     return tuple(o.reshape(N) for o in outs)
 
@@ -179,7 +182,8 @@ def fused_onehot_sum(parts, code_b, n_b: int,
             [c.astype(jnp.float32)[:, None].astype(jnp.bfloat16)
              for c in cols], axis=1)                      # (m, K) bf16
 
-    use_pallas = force == "pallas" or (
+    interpret = force == "interpret"
+    use_pallas = interpret or force == "pallas" or (
         force is None and _is_tpu() and N % 1024 == 0)
     if not use_pallas:
         return jax.lax.dot_general(
@@ -211,6 +215,7 @@ def fused_onehot_sum(parts, code_b, n_b: int,
         out_shape=jax.ShapeDtypeStruct((K, n_b), jnp.float32),
         in_specs=[vec] * (1 + K),
         out_specs=pl.BlockSpec((K, n_b), lambda i: (0, 0)),
+        interpret=interpret,
     )(code_b, *parts)
 
 
@@ -236,7 +241,8 @@ def fused_fn_onehot_sum(fields, mask_fn, n_masks: int, code_b, n_b: int,
             [c.astype(jnp.float32)[:, None].astype(jnp.bfloat16)
              for c in cols], axis=1)                      # (m, K) bf16
 
-    use_pallas = force == "pallas" or (
+    interpret = force == "interpret"
+    use_pallas = interpret or force == "pallas" or (
         force is None and _is_tpu() and N % 1024 == 0)
     if not use_pallas:
         masks = mask_fn(*fields)
@@ -271,6 +277,7 @@ def fused_fn_onehot_sum(fields, mask_fn, n_masks: int, code_b, n_b: int,
         out_shape=jax.ShapeDtypeStruct((n_masks, n_b), jnp.float32),
         in_specs=[vec] * (1 + n_f),
         out_specs=pl.BlockSpec((n_masks, n_b), lambda i: (0, 0)),
+        interpret=interpret,
     )(code_b, *fields)
 
 
@@ -426,7 +433,8 @@ def fused_bihistogram(code_a, n_a: int, weights, code_b, n_b: int,
             lhs, _onehot_bf16(cb, n_b), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)           # (n_a, n_b)
 
-    use_pallas = force == "pallas" or (
+    interpret = force == "interpret"
+    use_pallas = interpret or force == "pallas" or (
         force is None and _is_tpu() and N % 1024 == 0)
     if not use_pallas:
         return block_dot(code_a, weights, code_b)
@@ -453,4 +461,5 @@ def fused_bihistogram(code_a, n_a: int, weights, code_b, n_b: int,
         out_shape=jax.ShapeDtypeStruct((n_a, n_b), jnp.float32),
         in_specs=[vec, vec, vec],
         out_specs=pl.BlockSpec((n_a, n_b), lambda i: (0, 0)),
+        interpret=interpret,
     )(code_a, weights, code_b)

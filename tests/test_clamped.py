@@ -79,6 +79,40 @@ def test_streaming_kernel_matches_xla_path():
             assert int(np.asarray(got_b)[led]) == want_b, (trial, led)
 
 
+def test_streaming_kernel_multiblock_carries():
+    """G > 1 grid: the cross-block SMEM carries (running sum / masked
+    max / max) — the riskiest kernel logic and the one exercised at HUS
+    scale (G=27) — must match the reduce-window path bit-for-bit.
+    n = 131072 gives R = 1024, blk = 512, G = 2; offsets land mid-block
+    in both grid steps."""
+    rng = np.random.default_rng(11)
+    n = 131072
+    for trial, offset in enumerate([12345, 70000, 65536, n - 1]):
+        releases = rng.integers(0, 2, (n, 2)).astype(np.int32)
+        requests = rng.random((n, 2)) < 0.3
+        init = rng.integers(0, 6, 2).astype(np.int32)
+        got_g, got_b = clamped_counter_grants(
+            jnp.asarray(releases), jnp.asarray(requests),
+            jnp.asarray(init), jnp.int32(offset), force="interpret")
+        ref_g, ref_b = clamped_counter_grants(
+            jnp.asarray(releases), jnp.asarray(requests),
+            jnp.asarray(init), jnp.int32(offset), force="xla")
+        np.testing.assert_array_equal(np.asarray(got_g), np.asarray(ref_g),
+                                      err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(np.asarray(got_b), np.asarray(ref_b))
+
+
+def test_forced_pallas_rejects_ineligible_size():
+    """force='pallas' on an n where blk would not divide R must fail
+    loudly (silent garbage tail rows otherwise — ADVICE r2)."""
+    import pytest
+    n = 128 * 9  # n % 128 == 0 but (n/128) % 8 != 0
+    with pytest.raises(AssertionError):
+        clamped_counter_grants(
+            jnp.zeros((n,), jnp.int32), jnp.zeros((n,), bool),
+            jnp.int32(1), jnp.int32(0), force="interpret")
+
+
 def test_two_ledger_batch_matches_sequential():
     """The (N, L) multi-ledger path (beds + ICU ride one call in the
     engine) matches per-ledger sequential sweeps."""

@@ -123,3 +123,69 @@ def test_fused_bihistogram_fallback():
         for b in range(B):
             want[a, b] = wn[(can == a) & (cbn == b)].sum()
     np.testing.assert_array_equal(got, want)
+
+
+# ---- interpret-mode bit-identity: the ACTUAL kernel bodies (grid
+# walk, block specs, SMEM/VMEM accumulators) vs the XLA fallbacks, on
+# CPU CI. A Mosaic toolchain regression still needs TPU hardware to
+# surface, but any kernel-logic bug turns a test red here instead of a
+# silent bench fallback. Sizes chosen so the grid has > 1 step.
+
+
+def test_fused_map_kernel_matches_fallback():
+    N = 8192  # R = 64, blk = 64 → then force multi-block via max rows
+    x = jr.normal(jr.PRNGKey(20), (N,), jnp.float32)
+    s = jr.randint(jr.PRNGKey(21), (N,), 0, 3, jnp.int32)
+    tab = jnp.array([1.0, 2.0, 4.0], jnp.float32)
+    day = jnp.int32(7)
+
+    got = fused_map(_body, 3, [x, s], [tab, day], max_block_rows=16,
+                    force="interpret")  # R=64, blk=16 → grid of 4
+    want = fused_map(_body, 3, [x, s], [tab, day], force="xla")
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_fused_onehot_sum_kernel_matches_fallback():
+    from reina_tpu.ops.fusedmap import fused_onehot_sum
+    N, K, B = 4096, 5, 11
+    ks = jr.split(jr.PRNGKey(22), K)
+    parts = [jr.bernoulli(k, 0.3, (N,)) for k in ks]
+    code = jr.randint(jr.PRNGKey(23), (N,), -1, B + 2)
+
+    got = np.asarray(fused_onehot_sum(parts, code, B, max_block=1024,
+                                      force="interpret"))  # grid of 4
+    want = np.asarray(fused_onehot_sum(parts, code, B, force="xla"))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fused_fn_onehot_sum_kernel_matches_fallback():
+    from reina_tpu.ops.fusedmap import fused_fn_onehot_sum
+    N, B = 4096, 9
+    a = jr.bernoulli(jr.PRNGKey(24), 0.4, (N,))
+    v = jr.randint(jr.PRNGKey(25), (N,), -3, 40, jnp.int16)
+    s = jr.randint(jr.PRNGKey(26), (N,), 0, 5, jnp.int32)
+    code = jr.randint(jr.PRNGKey(27), (N,), 0, B)
+
+    def mask_fn(a, v, s):
+        v = v.astype(jnp.int32)
+        return [a & (v >= 0), a & (s == 2), (v >= 10) & ~a]
+
+    got = np.asarray(fused_fn_onehot_sum([a, v, s], mask_fn, 3, code, B,
+                                         max_block=1024, force="interpret"))
+    want = np.asarray(fused_fn_onehot_sum([a, v, s], mask_fn, 3, code, B,
+                                          force="xla"))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fused_bihistogram_kernel_matches_fallback():
+    from reina_tpu.ops.fusedmap import fused_bihistogram
+    N, A, B = 4096, 7, 13
+    ca = jr.randint(jr.PRNGKey(28), (N,), -1, A + 1)
+    cb = jr.randint(jr.PRNGKey(29), (N,), 0, B)
+    w = jr.randint(jr.PRNGKey(30), (N,), 0, 100).astype(jnp.float32)
+
+    got = np.asarray(fused_bihistogram(ca, A, w, cb, B, max_block=1024,
+                                       force="interpret"))  # grid of 4
+    want = np.asarray(fused_bihistogram(ca, A, w, cb, B, force="xla"))
+    np.testing.assert_array_equal(got, want)

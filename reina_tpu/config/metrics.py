@@ -57,6 +57,11 @@ METRICS = [
     Metric("mobility_limitation", _("Limit population mobility"), None, None),
     Metric("total_icu_units", _("ICU units"), None, _("ICU units"),
            is_integer=True),
+    # per-variant daily infections (reference main.pyx:1847-1850 exposes
+    # infected_by_variant keyed by variant name in every state dict);
+    # categories = variant names, from the infected_by_variant_* columns
+    Metric("infected_by_variant", _("New infections by variant"), None,
+           _("infections"), is_integer=True, is_categorized=True),
 ]
 
 # Google-mobility overlay metrics (reference common/mobility.py)

@@ -219,9 +219,19 @@ def results_to_metrics(results, only=None):
     for m in selected:
         int_values = float_values = categorized = None
         if m.is_categorized:
-            if adf is None:
+            # two category sources: the age-group cube (attrs like
+            # "vaccinated") and prefix columns in the daily frame
+            # (e.g. infected_by_variant_<name> — variant takeover)
+            prefix = m.id + "_"
+            pcols = [c for c in df.columns if c.startswith(prefix)]
+            if adf is not None and m.id in set(
+                    adf.columns.get_level_values(0)):
+                s = adf[m.id]
+            elif pcols:
+                s = df[pcols].rename(
+                    columns={c: c[len(prefix):] for c in pcols})
+            else:
                 continue
-            s = adf[m.id]
             categorized = CategorizedIntValues(
                 categories=[str(c) for c in s.columns],
                 values=[_opt_int_list(row) for row in s.values])

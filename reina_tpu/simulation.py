@@ -64,6 +64,12 @@ def outputs_to_frames(out, run: CompiledRun, n_days: int,
         rec[name] = out.exposures_by_place[:, p_i]
     rec["us_per_infected"] = (us_per_infected if us_per_infected is not None
                               else np.zeros(n_days))
+    # per-variant daily infections: the reference exposes
+    # infected_by_variant (keyed by variant name) in every
+    # generate_state dict (main.pyx:1847-1850); serialized here as
+    # prefix columns so the takeover curve reaches every consumer
+    for v_i, name in enumerate(run.variant_names):
+        rec["infected_by_variant_%s" % name] = out.infected_by_variant[:, v_i]
     df = pd.DataFrame(rec, index=idx)
 
     cube = out.by_group[:, [_GROUP_ROW[a] for a in POP_ATTRS], :]
@@ -121,7 +127,8 @@ def simulate_individuals(step_callback: Optional[Callable] = None,
         cb_state["done"] = rows
         if step_callback is None:
             return True
-        df, _ = outputs_to_frames_partial(partial, rows, variables)
+        df, _ = outputs_to_frames_partial(partial, rows, variables,
+                                          us_per_infected=us_rows[:rows])
         return bool(step_callback(df))
 
     out, state, carry, times = run_days(
@@ -131,7 +138,8 @@ def simulate_individuals(step_callback: Optional[Callable] = None,
     return df, adf
 
 
-def outputs_to_frames_partial(partial, rows, variables):
+def outputs_to_frames_partial(partial, rows, variables,
+                              us_per_infected=None):
     start = date.fromisoformat(variables["start_date"])
     idx = pd.date_range(start, periods=rows)
     rec = {}
@@ -146,7 +154,14 @@ def outputs_to_frames_partial(partial, rows, variables):
     rec["mobility_limitation"] = partial.mobility_limitation[:rows]
     for p_i, name in enumerate(EXPOSURES_ATTRS):
         rec[name] = partial.exposures_by_place[:rows, p_i]
-    rec["us_per_infected"] = np.zeros(rows)
+    # the reference streams the REAL per-day throughput in every
+    # partial frame (calc/simulation.py:212)
+    rec["us_per_infected"] = (us_per_infected if us_per_infected is not None
+                              else np.zeros(rows))
+    names = ["wild-type"] + [v["name"] for v in variables["variants"]]
+    for v_i, name in enumerate(names):
+        rec["infected_by_variant_%s" % name] = \
+            partial.infected_by_variant[:rows, v_i]
     return pd.DataFrame(rec, index=idx), None
 
 

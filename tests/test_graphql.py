@@ -188,10 +188,18 @@ def test_results_to_metrics_postprocessing():
         "available_icu_units": np.full(days, 10),
         "total_icu_units": np.full(days, 300),
         "mobility_limitation": np.full(days, 0.25),
+        # per-variant prefix columns (simulation.outputs_to_frames)
+        "infected_by_variant_wild-type": np.full(days, 80.0),
+        "infected_by_variant_b117": np.linspace(0, 20, days).round(),
     }, index=idx)
     dates, metrics = results_to_metrics({"total": df, "age_groups": None})
     assert len(dates) == days
     by_id = {m.type: m for m in metrics}
+    # variant takeover is a categorized metric built from prefix columns
+    # (reference main.pyx:1847-1850 exposes infected_by_variant per day)
+    ibv = by_id["infected_by_variant"].categorized_int_values
+    assert ibv.categories == ["wild-type", "b117"]
+    assert ibv.values[-1] == [80, 20]
     # IFR = dead / all_infected, 7-day mean, % — late-window check
     ifr = by_id["ifr"].float_values
     assert ifr[0] is None  # rolling window warm-up

@@ -47,10 +47,15 @@ class OraclePerson:
 
 
 class Oracle:
-    """Wild-type sequential spec, including the policy layer: testing
-    modes, 2-level contact tracing, oldest-first vaccination and
-    capacity rationing, mirroring the reference HealthcareSystem
-    (main.pyx:441-660) and person state machine (main.pyx:209-440).
+    """Sequential spec covering the full exposure math — variants,
+    masks, mobility-scaled contacts, weekly imports with per-variant
+    shares — plus the policy layer: testing modes, 2-level contact
+    tracing, oldest-first vaccination and capacity rationing, mirroring
+    the reference HealthcareSystem (main.pyx:441-660), person state
+    machine (main.pyx:209-440), Disease.did_infect incl. the mask
+    p(A∪B) save (main.pyx:908-934), ContactMatrix mobility rescaling
+    (main.pyx:1184-1248, 1250-1266) and Population.infect_people_daily
+    (main.pyx:1667-1685).
 
     ``events`` is a list of (day, kind, params) applied at day start
     like the reference's dated interventions:
@@ -58,6 +63,15 @@ class Oracle:
                                     "all_ct"); p = mild-detection /
                                     tracing-efficiency probability
       ("vaccinate", (daily, min_age, max_age))
+      ("masks", (share, min_age, max_age, place))
+                                    place = index into the contact
+                                    tensor's place axis, or None = all
+                                    (set_mask_probability, main.pyx:1268)
+      ("mobility", (factor, min_age, max_age, place))
+                                    (set_mobility_factor, main.pyx:1250)
+      ("import-weekly", (amount, shares))
+                                    shares = (V,) per-variant fractions
+                                    (infect_weekly, main.pyx:1667-1669)
     """
 
     def __init__(self, age_counts, dis: DiseaseArrays, contact_base,
@@ -65,6 +79,7 @@ class Oracle:
                  import_days=None, events=()):
         self.rng = np.random.default_rng(seed)
         self.dis = dis
+        self.nv = dis.p_susc.shape[0]
         ages = np.repeat(np.arange(len(age_counts)), age_counts)
         self.rng.shuffle(ages)
         self.people = [OraclePerson(int(a)) for a in ages]
@@ -75,14 +90,23 @@ class Oracle:
         self.daily_imports = daily_imports
         self.import_days = import_days
 
-        # contact model: mean contacts and (place,band) categorical per age
+        # contact model: (A, P, B) tensor scaled by mobility factors;
+        # mean contacts and the (place, band) categorical are re-derived
+        # whenever a factor changes (generate_contact_probabilities)
         self.band_of_age = band_of_age
-        q = contact_base  # (A, P, B), no mobility scaling
-        self.nc_a = q.sum(axis=(1, 2))
-        flat = q.reshape(q.shape[0], -1)
-        cat_p = flat / np.maximum(flat.sum(axis=1, keepdims=True), 1e-12)
-        self.cat_cum = np.cumsum(cat_p, axis=1)
-        self.nbands = q.shape[2]
+        self.contact_base = np.asarray(contact_base, dtype=float)
+        self.nbands = self.contact_base.shape[2]
+        self.nplaces = self.contact_base.shape[1]
+        self.mask_p = np.zeros((self.contact_base.shape[0], self.nplaces))
+        self.mobility = {}   # (place|None, min_age, max_age) -> factor
+        self._rebuild_contacts()
+
+        # weekly imports: fractional per-variant carry
+        # (infect_people_daily, main.pyx:1671-1685)
+        self.weekly_amount = 0.0
+        self.weekly_shares = np.zeros(self.nv)
+        self.weekly_shares[0] = 1.0
+        self.weekly_leftover = np.zeros(self.nv)
         # uniform pick within band: member lists
         self.band_members = [
             [i for i, p in enumerate(self.people)
@@ -102,6 +126,23 @@ class Oracle:
         self.by_age_order = sorted(range(self.n),
                                    key=lambda i: self.people[i].age)
 
+    def _rebuild_contacts(self):
+        """Mobility-scaled contact tables (the analog of
+        generate_contact_probabilities, main.pyx:1184-1248): factors
+        multiply the filtered (participant-age, place) cells, then the
+        per-age mean contact count and the cumulative (place, band)
+        categorical are re-derived from the scaled tensor."""
+        q = self.contact_base.copy()
+        for (place, mn, mx), f in self.mobility.items():
+            if f == 1.0:
+                continue
+            cols = slice(None) if place is None else [place]
+            q[mn:mx + 1, cols] *= f
+        self.nc_a = q.sum(axis=(1, 2))
+        flat = q.reshape(q.shape[0], -1)   # flat index = place*B + band
+        cat_p = flat / np.maximum(flat.sum(axis=1, keepdims=True), 1e-12)
+        self.cat_cum = np.cumsum(cat_p, axis=1)
+
     # --- disease math (mirrors main.pyx) -------------------------------
     def infectiousness(self, p):
         if p.state == C.INCUBATION:
@@ -112,22 +153,26 @@ class Oracle:
             return 0.0
         idx = day + C.IOT_OFFSET
         if 0 <= idx < C.IOT_LEN:
-            val = C.INFECTIOUSNESS_OVER_TIME[idx]
+            val = float(self.dis.iot[p.variant, idx])
             if p.severity == C.ASYMPTOMATIC:
-                val *= float(self.dis.asymp_mult[0])
+                val *= float(self.dis.asymp_mult[p.variant])
             return val
         return 0.0
 
-    def infect(self, p, infector=None, idx=None):
+    def infect(self, p, infector=None, idx=None, variant=0):
+        if infector is not None:
+            variant = self.people[infector].variant
+        p.variant = variant
         p.state = C.INCUBATION
         vdays = self.day - p.dov if p.dov >= 0 else -1
-        sev, outside = np_severity_draw(self.rng, self.dis, 0, p.age,
+        sev, outside = np_severity_draw(self.rng, self.dis, variant, p.age,
                                         vaccinated_days=vdays)
         p.severity, p.outside = sev, outside
-        p.days_left = int(np_gamma(self.rng, float(self.dis.mu_incub[0]),
+        p.days_left = int(np_gamma(self.rng,
+                                   float(self.dis.mu_incub[variant]),
                                    C.INCUBATION_CV) + 0.5)
-        mu = (float(self.dis.mu_death[0]) if sev == C.FATAL
-              else float(self.dis.mu_recov[0]))
+        mu = (float(self.dis.mu_death[variant]) if sev == C.FATAL
+              else float(self.dis.mu_recov[variant]))
         p.o2r = np_gamma(self.rng, mu, C.ONSET_TO_REMOVED_CV)
         p.day_of_infection = self.day
         if infector is not None:
@@ -153,9 +198,10 @@ class Oracle:
         f = np.exp(self.rng.normal(0, C.CONTACT_LOGNORMAL_SIGMA)) \
             * self.nc_a[p.age] * factor
         k = min(max(int(max(f, 1.0)) - 1, 0), limit)
+        v = p.variant
         for _ in range(k):
             cat = int(np.searchsorted(self.cat_cum[p.age], self.rng.random()))
-            band = cat % self.nbands
+            place, band = cat // self.nbands, cat % self.nbands
             members = self.band_members[band]
             if not members:
                 continue
@@ -163,9 +209,18 @@ class Oracle:
             t = self.people[t_idx]
             if t.infected or t.immune:
                 continue
-            prob = (inf * float(self.dis.p_susc[0, t.age])
-                    * float(self.dis.inf_mult[0]))
+            prob = (inf * float(self.dis.p_susc[v, t.age])
+                    * float(self.dis.inf_mult[v]))
             if self.rng.random() < prob:
+                # masks may save the day: p(A∪B) = a + b − ab, with the
+                # mask share taken from the SOURCE's (participant age,
+                # place) cell (did_infect, main.pyx:926-933)
+                m = float(self.mask_p[p.age, place])
+                if m:
+                    a = m * float(self.dis.mask_po[v])
+                    b = m * float(self.dis.mask_pw[v])
+                    if self.rng.random() < a + b - a * b:
+                        continue
                 self.infect(t, infector=idx, idx=t_idx)
 
     def advance(self, p, idx):
@@ -178,7 +233,7 @@ class Oracle:
                 p.days_left -= 1
             if p.days_left == 0:
                 p.state = C.ILLNESS
-                ratio = (float(d.ratio_before_hosp[0])
+                ratio = (float(d.ratio_before_hosp[p.variant])
                          if p.severity >= C.SEVERE else 1.0)
                 p.days_left = int(p.o2r * ratio + 0.5)
                 # symptomatic people seek testing at onset
@@ -223,9 +278,9 @@ class Oracle:
             self.all_detected += 1
         if self.beds_avail == 0:
             chance = (1.0 if p.severity == C.FATAL
-                      else float(d.p_icu_death_no_beds[0])
+                      else float(d.p_icu_death_no_beds[p.variant])
                       if p.severity == C.CRITICAL
-                      else float(d.p_hosp_death_no_beds[0]))
+                      else float(d.p_hosp_death_no_beds[p.variant]))
             if self.rng.random() < chance:
                 self.die(p)
             else:
@@ -233,8 +288,9 @@ class Oracle:
             return
         self.beds_avail -= 1
         p.state = C.HOSPITALIZED
-        ratio = ((1 - float(d.ratio_before_hosp[0]))
-                 if p.severity == C.SEVERE else float(d.ratio_in_ward[0]))
+        ratio = ((1 - float(d.ratio_before_hosp[p.variant]))
+                 if p.severity == C.SEVERE
+                 else float(d.ratio_in_ward[p.variant]))
         p.days_left = int(p.o2r * ratio + 0.5)
 
     def to_icu(self, p):
@@ -244,14 +300,15 @@ class Oracle:
         if self.icu_avail == 0:
             claimed = False
             chance = (1.0 if p.severity == C.FATAL
-                      else float(d.p_icu_death_no_beds[0]))
+                      else float(d.p_icu_death_no_beds[p.variant]))
             if self.rng.random() < chance:
                 self.die(p)
                 return
         else:
             self.icu_avail -= 1
         p.state = C.IN_ICU
-        rest = 1 - float(d.ratio_in_ward[0]) - float(d.ratio_before_hosp[0])
+        rest = (1 - float(d.ratio_in_ward[p.variant])
+                - float(d.ratio_before_hosp[p.variant]))
         p.days_left = int(p.o2r * rest + 0.5)
         if not claimed:
             # reference quirk: denied survivors occupy ICU without a unit
@@ -350,18 +407,36 @@ class Oracle:
                 else:
                     self.vaccinations.append(
                         dict(nr_daily=daily, min_age=mn, max_age=mx))
+            elif kind == "masks":
+                share, mn, mx, place = params
+                mn = 0 if mn is None else mn
+                mx = self.mask_p.shape[0] - 1 if mx is None else mx
+                cols = slice(None) if place is None else [place]
+                self.mask_p[mn:mx + 1, cols] = share
+            elif kind == "mobility":
+                factor, mn, mx, place = params
+                mn = 0 if mn is None else mn
+                mx = self.contact_base.shape[0] - 1 if mx is None else mx
+                self.mobility[(place, mn, mx)] = factor
+                self._rebuild_contacts()
+            elif kind == "import-weekly":
+                amount, shares = params
+                self.weekly_amount = float(amount)
+                self.weekly_shares = np.asarray(shares, dtype=float)
             else:
                 raise ValueError(kind)
 
     def snapshot(self):
         s = dict(infected=0, all_infected=0, dead=0, in_ward=0, in_icu=0,
                  recovered=0, vaccinated=0, non_hospital_dead=0,
-                 all_detected=self.all_detected, ct_cases=self.ct_cases)
+                 all_detected=self.all_detected, ct_cases=self.ct_cases,
+                 by_variant=np.zeros(self.nv, dtype=int))
         for p in self.people:
             if p.infected:
                 s["infected"] += 1
             if p.day_of_infection >= 0:
                 s["all_infected"] += 1
+                s["by_variant"][p.variant] += 1
             if p.dov >= 0:
                 s["vaccinated"] += 1
             if p.state == C.DEAD:
@@ -376,13 +451,27 @@ class Oracle:
                 s["recovered"] += 1
         return s
 
-    def import_infections(self, count):
+    def import_infections(self, count, variant=0):
         for _ in range(count):
             for _attempt in range(10):
                 p = self.people[self.rng.integers(self.n)]
                 if p.state == C.SUSCEPTIBLE and not p.immune:
-                    self.infect(p, infector=None)
+                    self.infect(p, infector=None, variant=variant)
                     break
+
+    def weekly_imports(self):
+        """Per-variant fractional-carry weekly imports
+        (infect_people_daily, main.pyx:1671-1685): each day accrues
+        amount/7 × share[v]; the integer part imports today, the
+        fraction carries over."""
+        for v in range(self.nv):
+            leftover = (self.weekly_leftover[v]
+                        + self.weekly_amount / 7.0 * self.weekly_shares[v])
+            today = int(leftover)
+            if today:
+                self.import_infections(today, variant=v)
+                leftover -= today
+            self.weekly_leftover[v] = leftover
 
     def run(self, days):
         """Day order mirrors the reference _iterate (main.pyx:1994-2009):
@@ -391,6 +480,9 @@ class Oracle:
         for _ in range(days):
             self.history.append(self.snapshot())
             self.apply_events()
+            # weekly (pop.init_day) precedes one-shot imports in the
+            # reference _iterate (main.pyx:1995-1996)
+            self.weekly_imports()
             if self.import_days is None or self.day in self.import_days:
                 self.import_infections(self.daily_imports)
             self.hc_iterate()

@@ -188,6 +188,55 @@ _FI = {
     "Number of days that ICU units had less than 10%% of capacity left.":
         "Kuinka monena päivänä tehohoitokapasiteettia oli alle 10%% "
         "jäljellä.",
+    # remaining reference msgids (locale/fi/LC_MESSAGES/messages.po):
+    # scenario/UI description tail imported verbatim
+    "Add a new event": "Lisää uusi tapahtuma",
+    "Case fatality ratio (CFR, %": "Tapauskuolleisuus (CFR, %)",
+    "Corona epidemic simulator": "Koronaepidemiasimulaattori",
+    "Dead (cum.)": "Kuolleet (kum.)",
+    "Dead (real)": "Kuolleet (tod.)",
+    "Detected cases (cum.)": "Tunnistetut tapaukset (kum.)",
+    "Detected cases (real)": "Havaitut tapaukset (tod.)",
+    "Detected cases (sim.)": "Havaitut tapaukset (sim.)",
+    "Disease parameters": "Taudin parametrit",
+    "Distributions based on model parameters for a %(age)d-year-old person":
+        "Mallin oletusten mukaiset jakaumat %(age)d-vuotiaalle henkilölle",
+    "Distributions for a %(age)d-year-old person":
+        "Jakaumat %(age)d-vuotiaalle henkilölle",
+    "Duration of hospital treatment": "Sairaalahoitojakson kesto",
+    "Exploration of the effects of interventions to the progression of the epidemic.":
+        "Tutkitaan kuinka erilaiset interventiot vaikuttavat koronavirusepidemian etenemiseen.",
+    "Hospitalized (real)": "Sairaalassa (tod.)",
+    "ICU Capacity Exceeded": "Tehohoidon kapasiteetti ylitetty",
+    "Import new infections daily":
+        "Alueelle tulee päivittäin uusia infektioita",
+    "In ICU (real)": "Tehohoidossa (tod.)",
+    "Infection fatality ratio (IFR, %": "Infektiokuolleisuus (IFR, %)",
+    "Mean number of days in regular hospital care before ICU":
+        "Sairaalahoitojakson keskimääräinen kesto päivinä ennen tehohoitojaksoa",
+    "Mean number of days of being hospitalized":
+        "Sairaalahoitojakson keskimääräinen kesto päivinä",
+    "Mean number of days of being ill":
+        "Sairausjakson keskimääräinen kesto päivinä",
+    "Mean number of days of being in ICU care":
+        "Tehohoitojakson keskimääräinen kesto päivinä",
+    "Parameters": "Parametrit",
+    "Preset scenario": "Esivalittu skenaario",
+    "Probability of becoming infected after being exposed":
+        "Todennäköisyys, että taudille altistunut saa tartunnan",
+    "Probability of dying after regular hospital treatment":
+        "Sairaalahoitoa tarvitsevista osuus, joka kuolee sairaalahoidon päätteeksi",
+    "Probability of dying during ICU care":
+        "Tehohoitoa tarvitsevien osuus, joka kuolee tehohoitojakson päätteeksi",
+    "Probability of dying if no hospital beds are available":
+        "Sairaalahoitoa tarvitsevien osuus, joka kuolee jos sairaalapaikkaa ei ole vapaana",
+    "Probability of requiring ICU care after having severe symptoms":
+        "Osuus vakavasti oirehtivista, jotka tarvitsevat tehohoitoa",
+    "Recovered (cum.)": "Toipuneet (kum.)",
+    "Reproductive number (R)": "R-luku",
+    "infections/day": "infektiota/pv",
+    "max. contacts": "kontaktia (max.)",
+    "units": "kpl",
 }
 
 TRANSLATIONS = {"fi": _FI, "en": {}}

@@ -109,9 +109,29 @@ def test_growth_rate_matches(engine_curves, oracle_curves):
     assert abs(re.mean() - ro.mean()) <= tol, (re.mean(), ro.mean())
 
 
-def test_hospital_load_same_scale(engine_curves, oracle_curves):
-    """Ward occupancy stays on the same scale (it is a rare-event tail
-    of the severity chain; only a loose check is statistically fair)."""
-    peak_e = np.mean([c["in_ward"].max() for c in engine_curves])
-    peak_o = np.mean([c["in_ward"].max() for c in oracle_curves])
-    assert abs(peak_e - peak_o) <= max(3.0, 0.5 * max(peak_e, peak_o))
+def test_hospital_load_matches(engine_curves, oracle_curves):
+    """Ward occupancy parity at a statistical tolerance (not the old
+    50%-of-peak scale check): seed-averaged ward person-days (the
+    integral of the occupancy curve — the lowest-variance functional of
+    the rare-event severity tail) and fixed-day occupancy both agree
+    within mean ± 4·SE + 12%."""
+    def stat(curves, fn):
+        vals = np.array([fn(c) for c in curves], dtype=float)
+        return vals.mean(), vals.std(ddof=1) / np.sqrt(len(vals))
+
+    # person-days in ward over the whole run
+    me, se_e = stat(engine_curves, lambda c: c["in_ward"].sum())
+    mo, se_o = stat(oracle_curves, lambda c: c["in_ward"].sum())
+    tol = 4 * np.hypot(se_e, se_o) + 0.12 * max(mo, 5.0)
+    assert abs(me - mo) <= tol, (
+        f"ward person-days: engine {me:.1f}±{se_e:.1f} "
+        f"vs oracle {mo:.1f}±{se_o:.1f} (tol {tol:.1f})")
+
+    # fixed-day occupancy at the late-run days the curve is largest
+    for day in (20, DAYS - 1):
+        me, se_e = stat(engine_curves, lambda c: c["in_ward"][day])
+        mo, se_o = stat(oracle_curves, lambda c: c["in_ward"][day])
+        tol = 4 * np.hypot(se_e, se_o) + 0.12 * max(mo, 2.0)
+        assert abs(me - mo) <= tol, (
+            f"day {day} in_ward: engine {me:.2f}±{se_e:.2f} "
+            f"vs oracle {mo:.2f}±{se_o:.2f} (tol {tol:.2f})")

@@ -231,9 +231,18 @@ def _binomial_split(key, totals, probs):
     fluctuation of dart totals across bands (relative effect
     O(1/sqrt(K)) on the already-noisy total), and is documented in
     docs/parity.md (every consumer — dart splits and the
-    exposures-by-place diagnostic — accepts the marginal split)."""
+    exposures-by-place diagnostic — accepts the marginal split).
+
+    The ~54 elementwise sampler rounds run on the FLATTENED domain:
+    XLA packs the 5-D (A, V, T, S, B) group arrays in transposed
+    T(2,128) layouts that waste most of each vector register (day-200
+    trace, fusion.4037). Flattening is bit-exact: threefry bits are
+    generated in row-major element order, so the same key over the
+    same element count yields identical draws."""
     n_full = jnp.broadcast_to(totals[..., None].astype(F32), probs.shape)
-    return binomial_fixed(key, n_full, probs.astype(F32))
+    flat = binomial_fixed(key, n_full.reshape(-1),
+                          probs.astype(F32).reshape(-1))
+    return flat.reshape(probs.shape)
 
 
 def _group_counts(cfg: EngineConfig, arrays: ModelArrays, masks):
@@ -503,8 +512,76 @@ def _output_masks(active, is_inf, has_imm, dov, det, st, ever_icu,
     ]
 
 
+def tier_bounds(head: int, cap: int):
+    """Geometric buffer tiers (head, 3·head, …): the single source of
+    truth for tier sizes — shared by the tier loops AND the per-day
+    key schedule so the part numbering can never drift."""
+    head = min(head, cap)
+    out = [(0, head)]
+    lo = head
+    while lo < cap:
+        seg = min(lo * 3, cap) - lo
+        out.append((lo, seg))
+        lo += seg
+    return out
+
+
+class DayKeys(NamedTuple):
+    """All RNG key material one day consumes, pre-derived.
+
+    Scalar threefry derivations on this toolchain cost ~30-70 µs EACH
+    (device trace: the per-day fold_in+split tree alone was 0.6 ms/day);
+    batching every derivation over (chunk_days × parts) turns ~25
+    scalar ops per day into ~10 vectorized ops per CHUNK. Entries are
+    bit-identical to the fold_in chains they replace (threefry is
+    deterministic and element-independent under vmap)."""
+    base: jnp.ndarray       # (17, 2) split(fold_in(base_key, day), 17)
+    l1: jnp.ndarray         # (P1, 2) fold_in(k1, part)
+    e1: jnp.ndarray         # (PE, 2) fold_in(k_e1, part)
+    e2: jnp.ndarray         # (PE, 2) fold_in(k_e2, part)
+    k_mem: jnp.ndarray      # (2,)
+    vacc: jnp.ndarray       # (S, 2) fold_in(k_offset, 1000 + s)
+    attr_age: jnp.ndarray   # (PK, 2) fold_in(k_attr_age, part)
+    attr_src: jnp.ndarray   # (PK, 2)
+    gam1: jnp.ndarray       # (PK, 2)
+    gam2: jnp.ndarray       # (PK, 2)
+    sev: jnp.ndarray        # (PK, 2)
+
+
+def derive_day_keys(cfg: EngineConfig, base_key, day) -> DayKeys:
+    """The exact key-derivation chains day_step used to run inline,
+    as batched ops (vmap-able over a chunk of days)."""
+    ks = jr.split(jr.fold_in(base_key, day), 17)
+    k1, k_mem, k_e1, k_e2 = jr.split(ks[11], 4)
+    k_offset = ks[14]
+    p1 = len(tier_bounds(min(cfg.infection_head, cfg.infection_buffer),
+                         cfg.infection_buffer))
+    pe = len(tier_bounds(min(cfg.edge_head, cfg.edge_buffer),
+                         cfg.edge_buffer))
+    pk = len(tier_bounds(min(cfg.infection_head, cfg.infection_buffer),
+                         cfg.infection_buffer))
+
+    def tab(k, parts):
+        return jax.vmap(lambda p: jr.fold_in(k, p))(parts)
+
+    return DayKeys(
+        base=ks,
+        l1=tab(k1, jnp.arange(p1)),
+        e1=tab(k_e1, jnp.arange(pe)),
+        e2=tab(k_e2, jnp.arange(pe)),
+        k_mem=k_mem,
+        vacc=tab(k_offset, 1000 + jnp.arange(max(cfg.vacc_slots, 1))),
+        attr_age=tab(ks[8], jnp.arange(pk)),
+        attr_src=tab(ks[9], jnp.arange(pk)),
+        gam1=tab(ks[6], jnp.arange(pk)),
+        gam2=tab(ks[7], jnp.arange(pk)),
+        sev=tab(ks[5], jnp.arange(pk)),
+    )
+
+
 def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
-             state: AgentState, carry: DayCarry, base_key):
+             state: AgentState, carry: DayCarry, base_key,
+             day_keys: DayKeys | None = None):
     """Advance one day. Returns (state, carry, DayOutputs)."""
     N = state.age.shape[0]
     A = arrays.age_start.shape[0] - 1
@@ -514,14 +591,16 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     fm = None if cfg.pallas else "xla"  # fused-op kernel gate
 
     day = carry.day
-    key = jr.fold_in(base_key, day)
+    if day_keys is None:
+        day_keys = derive_day_keys(cfg, base_key, day)
+    dk = day_keys
     # NOTE: 17-way split with three reserved slots (_r*): they carried
     # the removed sequential trace / no-care-death streams; dropping
     # them would re-key every stream and shift all trajectories for no
     # semantic reason.
-    (k_contact, k_bin, k_place, k_inf, k_var, k_sev, k_gam1, k_gam2,
-     k_attr_age, k_attr_src, k_imp, k_trace1, _r1, k_anyway,
-     k_offset, _r2, _r3) = jr.split(key, 17)
+    (k_contact, k_bin, k_place, k_inf, k_var, _k_sev, _k_gam1, _k_gam2,
+     _k_attr_age, _k_attr_src, k_imp, _k_trace1, _r1, k_anyway,
+     k_offset, _r2, _r3) = dk.base
 
     age = state.age.astype(I32)
     variant = state.variant.astype(I32)
@@ -598,16 +677,18 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         compacted the frontier (an N-cumsum plus a 21-round bisect per
         level); this one only compacts the drained queue."""
         eligible = active & ~is_dead & ~was_detected & ~queued
-        k1, k_mem, k_e1, k_e2 = jr.split(k_trace1, 4)
         # per-member level-2 infector-attempt draws (same draw no matter
         # how many edges reached the member)
-        u_mem = jr.uniform(k_mem, (N,), F32)
+        u_mem = jr.uniform(dk.k_mem, (N,), F32)
         infector = state.infector
         # pre-fold the whole level-2 attempt into ONE per-agent table:
         # r2_tab[t] = t's infector if t would recurse when queued, else
         # the drop sentinel. Edge streams then pay a single r2_tab
         # gather where the inline form cost three (eligible, u_mem,
         # infector) — gathers are the scalar-pipeline bound here.
+        # (A fused_map formulation of this block measured SLOWER: the
+        # custom-call forces its operands/results to materialize where
+        # XLA's own fusions fold them into the consumers.)
         r2_tab = jnp.where(eligible & (u_mem < sched.trace_p)
                            & (infector >= 0), infector, N)
 
@@ -620,7 +701,7 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
             r2_tab to (N+1,), an N-sized copy per tracing day."""
             return jnp.where(hit_ok, r2_tab[jnp.clip(tgt, 0, N - 1)], N)
 
-        def edge_passes(src_ok, key, with_recurse, hit=None, hit_r2=None):
+        def edge_passes(src_ok, ktab, with_recurse, hit=None, hit_r2=None):
             """Geometric-tier pass over the edge table: hit mask plus
             (optionally) inline level-2 infector candidates. Existing
             (N+1,) accumulators can be passed in — scattering into one
@@ -639,7 +720,7 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
                     src_seg = jax.lax.slice_in_dim(edge_src, lo, lo + seg)
                     dst_seg = jax.lax.slice_in_dim(edge_dst, lo, lo + seg)
                     valid = (lo + jnp.arange(seg, dtype=I32)) < edge_n
-                    u = jr.uniform(jr.fold_in(key, part), (seg,), F32)
+                    u = jr.uniform(ktab[part], (seg,), F32)
                     fire = (valid & (src_seg < N) & (u < sched.trace_p)
                             & src_ok[jnp.clip(src_seg, 0, N - 1)])
                     hit = hit.at[jnp.where(fire, dst_seg, N)].set(True)
@@ -662,7 +743,7 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         # the queue is usually far smaller than the Tcap buffer, so the
         # infector draws/gathers/scatters run in geometric tiers that
         # track the actual drain size (like the compaction itself)
-        dbuf, n_d = compact_indices(drained & active, Tcap)
+        dbuf, n_d = compact_indices(drained & active, Tcap, force=fm)
         Th = min(cfg.infection_head, Tcap)
 
         def l1_part(carry, lo, seg, part):
@@ -671,7 +752,7 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
             used = seg_buf < N
             bp = jnp.clip(seg_buf, 0, N - 1)
             inf_s = infector[bp]
-            u1 = jr.uniform(jr.fold_in(k1, part), (seg,), F32)
+            u1 = jr.uniform(dk.l1[part], (seg,), F32)
             succ = used & (inf_s >= 0) & (u1 < sched.trace_p)
             tgt = jnp.where(succ, inf_s, N)
             hit1 = hit1.at[tgt].set(True)
@@ -696,7 +777,7 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         # hit12 = hit1 | hit2 and hit_r2ab = hit_r2a | hit_r2b come out
         # of the scatters themselves (no zero-inits, no OR passes)
         src_ok1 = drained & state.is_infected
-        hit12, hit_r2ab = edge_passes(src_ok1, k_e1, with_recurse=True,
+        hit12, hit_r2ab = edge_passes(src_ok1, dk.e1, with_recurse=True,
                                       hit=hit1, hit_r2=hit_r2a)
 
         newq1 = eligible & hit12[:N]
@@ -705,7 +786,7 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         # infectee edges of the level-1 frontier (mask-based — no
         # compaction); infector attempts were folded in above
         src_ok2 = newq1 & state.is_infected
-        hit2_l2, _ = edge_passes(src_ok2, k_e2, with_recurse=False)
+        hit2_l2, _ = edge_passes(src_ok2, dk.e2, with_recurse=False)
         newq2 = eligible & ~newq1 & (hit_r2ab[:N] | hit2_l2[:N])
 
         return queued | newq1 | newq2, n_d > Tcap
@@ -746,7 +827,7 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
             older_ag = jnp.round(expand_by_age(arrays, older, terms=3))
             cnt_ag = jnp.round(expand_by_age(arrays, counts, terms=3))
             need = nr - older_ag
-            u_vac = jr.uniform(jr.fold_in(k_offset, 1000 + s), (N,), F32)
+            u_vac = jr.uniform(dk.vacc[s], (N,), F32)
             frac = jnp.clip(need / jnp.maximum(cnt_ag, 1.0), 0.0, 1.0)
             take = eligible & (need > 0) & (
                 (cnt_ag <= need) | (u_vac < frac))
@@ -969,10 +1050,10 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         b_i = band_t[bp]
         v_i = variant_new[bp]
         w = C_av.T[v_i] * Tq.transpose(0, 2, 1)[v_i, b_i]        # (m, A)
-        gumb = jr.gumbel(jr.fold_in(k_attr_age, part), w.shape, F32)
+        gumb = jr.gumbel(dk.attr_age[part], w.shape, F32)
         logw = jnp.where(w > 0, jnp.log(jnp.maximum(w, 1e-30)), -jnp.inf)
         a_star = jnp.argmax(logw + gumb, axis=1).astype(I32)
-        u_src = jr.uniform(jr.fold_in(k_attr_src, part), (m,), F32)
+        u_src = jr.uniform(dk.attr_src[part], (m,), F32)
         # the source lives inside the sampled (variant, age bucket)
         # segment of the concatenated cumulative weights: ONE bracketed
         # bisect serves every slot regardless of variant
@@ -992,14 +1073,14 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         # edge is recorded iff the list was malloc'ed when the SOURCE
         # was infected, not iff tracing is active today)
         tr_src = ok & state.traceable[src]
-        g1 = gamma_fixed(jr.fold_in(k_gam1, part), kappa_inc, (m,))
-        g2 = gamma_fixed(jr.fold_in(k_gam2, part), kappa_o2r, (m,))
+        g1 = gamma_fixed(dk.gam1[part], kappa_inc, (m,))
+        g2 = gamma_fixed(dk.gam2[part], kappa_o2r, (m,))
         # severity + durations per slot: (variant, severity)-dependent
         # scales applied to the standard-gamma draws
         age_i = age[bp]
         dov_i = dov[bp]
         sev_i, outside_i = _severity_draw_slots(
-            jr.fold_in(k_sev, part), arrays, v_i, age_i, dov_i, day)
+            dk.sev[part], arrays, v_i, age_i, dov_i, day)
         theta_inc = (C.INCUBATION_CV ** 2) * arrays.mu_incub[v_i]
         incub_i = _round_to_int(g1 * theta_inc)
         mu_o2r = jnp.where(sev_i == C.FATAL, arrays.mu_death[v_i],
@@ -1095,7 +1176,7 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         alive = ((jnp.arange(E, dtype=I32) < en) & (es < N)
                  & is_infected[jnp.clip(es, 0, N - 1)]
                  & dst_ok[jnp.clip(ed, 0, N - 1)])
-        buf, cnt = compact_indices(alive, E)
+        buf, cnt = compact_indices(alive, E, force=fm)
         buf_c = jnp.clip(buf, 0, E - 1)
         keep = buf < E
         es2 = jnp.where(keep, es[buf_c], N)

@@ -13,12 +13,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .fusedmap import fused_concat_prefix
 from .random import searchsorted_compact
 
 I32 = jnp.int32
 
 
-def compact_indices(mask, capacity: int, head: int = 1 << 12):
+def compact_indices(mask, capacity: int, head: int = 1 << 12,
+                    force: str | None = None):
     """Pack the indices of set positions of ``mask`` into a buffer.
 
     Args:
@@ -37,15 +39,21 @@ def compact_indices(mask, capacity: int, head: int = 1 << 12):
         flag overflow when count > K).
     """
     n = mask.shape[0]
-    cum = jnp.cumsum(mask.astype(I32))                 # inclusive
-    count = cum[-1]
+    # inclusive prefix count as ONE streaming kernel pass (exact: f32
+    # integers < 2^24; the XLA reduce-window pair cost ~0.3 ms/day at
+    # HUS scale in the device trace). Bisection over the same values is
+    # identical whichever dtype carries them.
+    cum = fused_concat_prefix(mask.astype(jnp.float32), None, 1,
+                              force=force)
+    count = cum[-1].astype(I32)
 
     def part(lo_slot: int, n_slots: int):
         slots = lo_slot + jnp.arange(n_slots, dtype=I32)
         # two-level bisect: a ≤104-entry strided subsample of cum gathers
         # as vectorized selects, cutting the gathered rounds from
         # log2(N) to log2(block) (ops/random.py:searchsorted_compact)
-        buf = searchsorted_compact(cum, slots + 1, side="left")
+        buf = searchsorted_compact(cum, (slots + 1).astype(jnp.float32),
+                                   side="left")
         used = slots < jnp.minimum(count, capacity)
         return jnp.where(used, buf, n)
 

@@ -205,7 +205,10 @@ def searchsorted_fixed(sorted_arr, queries, side: str = "left",
     # partial unroll: scan-iteration overhead is ~55 µs/round on this
     # TPU (measured: 21 scanned rounds 2.4 ms vs 1.3-1.6 ms unrolled for
     # 4096 queries); unroll=7 keeps the jaxpr growth bounded while
-    # removing ~2/3 of the iteration floors
+    # removing ~2/3 of the iteration floors. Do NOT full-unroll: fully
+    # unrolled rounds materialize each gather as a separate ~0.23 ms
+    # kCustom op (day-200 trace, 2026-08-19) — 4x slower than the
+    # 3-iteration while.
     (lo, hi), _ = lax.scan(body, (lo, hi), None, length=n_steps,
                            unroll=min(n_steps, 7))
     return lo

@@ -349,6 +349,29 @@ def _make_receiver_body(v_count, n_bands):
     return body
 
 
+def _make_recv_front_body(v_count, n_bands):
+    """Exposure receiver + progression front half in ONE fused pass:
+    both are pure elementwise over the agent axis with no data
+    dependency between them, and they share several input streams
+    (state, severity, is_infected, active) — merging saves a kernel
+    launch plus a re-read of the shared streams."""
+    recv = _make_receiver_body(v_count, n_bands)
+
+    def body(band, *rest):
+        lams = rest[:v_count]
+        (isinf, hasimm, act, u_inf, u_var,
+         st8, doi, dl, o2r, sev8, wdet, dout, doil, u_day,
+         var8) = rest[v_count:v_count + 15]
+        D2, rbt, rwt, scal_i, dap2 = rest[v_count + 15:]
+        nc, nv, susc = recv(band, *lams, isinf, hasimm, act,
+                            u_inf, u_var, D2)
+        front = _phase5_front(st8, doi, isinf, act, dl, o2r, sev8, wdet,
+                              dout, doil, u_day, var8, rbt, rwt, scal_i,
+                              dap2)
+        return (nc, nv, susc) + front
+    return body
+
+
 def _phase5_front(st8, doi, isinf, act, dl, o2r, sev8, wdet, dout, doil,
                   u, var8, rbt, rwt, scal_i, dap2):
     """Progression pre-ledger: advance counters, fire transitions,
@@ -708,9 +731,9 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
             base is the OR of two scatter sets, so sharing buffers
             saves the zero-init and the OR pass."""
             if hit is None:
-                hit = jnp.zeros(N + 1, bool)
+                hit = jnp.zeros(N, bool)
             if hit_r2 is None:
-                hit_r2 = jnp.zeros(N + 1, bool)
+                hit_r2 = jnp.zeros(N, bool)
             lo, part = 0, 0
             while lo < E:
                 seg = Eh if lo == 0 else min(lo * 3, E) - lo
@@ -723,11 +746,12 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
                     u = jr.uniform(ktab[part], (seg,), F32)
                     fire = (valid & (src_seg < N) & (u < sched.trace_p)
                             & src_ok[jnp.clip(src_seg, 0, N - 1)])
-                    hit = hit.at[jnp.where(fire, dst_seg, N)].set(True)
+                    hit = hit.at[jnp.where(fire, dst_seg, N)].set(
+                        True, mode="drop")
                     if with_recurse:
                         t2 = recurse_targets(
                             jnp.where(fire, dst_seg, N), fire)
-                        hit_r2 = hit_r2.at[t2].set(True)
+                        hit_r2 = hit_r2.at[t2].set(True, mode="drop")
                     return hit, hit_r2
 
                 if lo == 0:
@@ -755,13 +779,16 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
             u1 = jr.uniform(dk.l1[part], (seg,), F32)
             succ = used & (inf_s >= 0) & (u1 < sched.trace_p)
             tgt = jnp.where(succ, inf_s, N)
-            hit1 = hit1.at[tgt].set(True)
+            hit1 = hit1.at[tgt].set(True, mode="drop")
             t2a = recurse_targets(tgt, succ)
-            hit_r2a = hit_r2a.at[t2a].set(True)
+            hit_r2a = hit_r2a.at[t2a].set(True, mode="drop")
             return hit1, hit_r2a
 
-        hit1 = jnp.zeros(N + 1, bool)
-        hit_r2a = jnp.zeros(N + 1, bool)
+        # (N,)-sized with mode="drop" scatters (the N sentinel drops):
+        # (N+1,)-sized buffers forced a pred[N+1]->pred[N] slice copy
+        # per consumer (~0.07 ms each, day-200 trace)
+        hit1 = jnp.zeros(N, bool)
+        hit_r2a = jnp.zeros(N, bool)
         hit1, hit_r2a = l1_part((hit1, hit_r2a), 0, Th, 0)
         lo, part = Th, 1
         while lo < Tcap:
@@ -780,14 +807,14 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         hit12, hit_r2ab = edge_passes(src_ok1, dk.e1, with_recurse=True,
                                       hit=hit1, hit_r2=hit_r2a)
 
-        newq1 = eligible & hit12[:N]
+        newq1 = eligible & hit12
 
         # ---- level 2 ----
         # infectee edges of the level-1 frontier (mask-based — no
         # compaction); infector attempts were folded in above
         src_ok2 = newq1 & state.is_infected
         hit2_l2, _ = edge_passes(src_ok2, dk.e2, with_recurse=False)
-        newq2 = eligible & ~newq1 & (hit_r2ab[:N] | hit2_l2[:N])
+        newq2 = eligible & ~newq1 & (hit_r2ab | hit2_l2)
 
         return queued | newq1 | newq2, n_d > Tcap
 
@@ -897,30 +924,29 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     band_t = arrays.band_ag                                      # (N,)
     u_inf = jr.uniform(k_inf, (N,), F32)
     u_var = jr.uniform(k_var, (N,), F32)
-    new_contact, new_variant, susceptible = fused_map(
-        _make_receiver_body(V, B), 3,
-        [band_t] + [arrays.lam_log1p_ag[v] for v in range(V)]
-        + [state.is_infected, state.has_immunity, active, u_inf, u_var],
-        [D], force=fm)
 
-    # ---- phase 5: progression + capacity rationing ---------------------
-    # everything elementwise runs as TWO single-launch fused passes (one
-    # per ledger side), sandwiching the global clamped-counter scan; the
-    # ONE uniform array serves the onset-seek, bed-denial and ICU-denial
-    # draws (disjoint per agent-day — an agent fires at most one of
-    # those transitions per day)
+    # ---- phase 5 (front half shares the receiver's launch) -------------
+    # the receiver pass and the progression front half are independent
+    # elementwise passes over the same agent streams — ONE launch and
+    # one read of the shared (state, severity, is_infected, active)
+    # streams instead of two; the ONE uniform array (u_day) serves the
+    # onset-seek, bed-denial and ICU-denial draws (disjoint per
+    # agent-day — an agent fires at most one of those transitions/day)
     o2r = state.o2r
     u_day = jr.uniform(k_anyway, (N,), F32)
     scal_i = jnp.stack([day, sched.testing_mode.astype(I32)])
 
-    (dl_a, day_of_illness, onset, queue_new, die_home, bed_request,
+    (new_contact, new_variant, susceptible,
+     dl_a, day_of_illness, onset, queue_new, die_home, bed_request,
      recover_ill, hosp_end, icu_request, hosp_recover, icu_end,
      icu_die, icu_recover) = fused_map(
-        _phase5_front, 13,
-        [state.state, state.day_of_infection, state.is_infected, active,
-         state.days_left, o2r, state.severity, was_detected,
-         state.death_outside, state.day_of_illness, u_day, state.variant],
-        [arrays.ratio_before_hosp, arrays.ratio_in_ward, scal_i,
+        _make_recv_front_body(V, B), 16,
+        [band_t] + [arrays.lam_log1p_ag[v] for v in range(V)]
+        + [state.is_infected, state.has_immunity, active, u_inf, u_var,
+           state.state, state.day_of_infection, state.days_left, o2r,
+           state.severity, was_detected, state.death_outside,
+           state.day_of_illness, u_day, state.variant],
+        [D, arrays.ratio_before_hosp, arrays.ratio_in_ward, scal_i,
          sched.detect_anyway_p], force=fm)
     queued = queued | queue_new
 
@@ -977,7 +1003,8 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         import_ok = slot_valid & any_ok
         import_tgt = jnp.where(import_ok, import_agent, N)
         # one packed scatter: value = variant + 1 (0 = not imported)
-        return jnp.zeros(N + 1, I32).at[import_tgt].set(slot_variant + 1)[:N]
+        return jnp.zeros(N, I32).at[import_tgt].set(
+            slot_variant + 1, mode="drop")
 
     # import days are sparse — skip the pick/scatter machinery otherwise
     imp_pack = jax.lax.cond(tot_imports > 0, do_imports,

@@ -156,7 +156,7 @@ def _row_dots(cols, oh):
 
 
 def fused_onehot_sum(parts, code_b, n_b: int,
-                     max_block: int = 8192, force: str | None = None):
+                     max_block: int = 32768, force: str | None = None):
     """out[k, b] = sum_i parts[k][i] * [code_b[i] == b] as blockwise
     MXU dots, WITHOUT materializing the (N, K) mask stack or the
     (N, n_b) one-hot in HBM (each cost an N-pass of write+read per
@@ -170,6 +170,10 @@ def fused_onehot_sum(parts, code_b, n_b: int,
       exact integers are associative), so the Pallas kernel and the
       fallback agree bit-for-bit.
     """
+    # max_block 32768 measured best of {8k, 16k, 32k, 64k} for the
+    # histogram family on the bench TPU (64k regresses fused_bihistogram
+    # 2x — VMEM pressure); fewer grid steps amortize the per-block
+    # reshape/concat chains.
     K = len(parts)
     N = parts[0].shape[0]
     code_b = code_b.astype(jnp.int32)
@@ -220,7 +224,7 @@ def fused_onehot_sum(parts, code_b, n_b: int,
 
 
 def fused_fn_onehot_sum(fields, mask_fn, n_masks: int, code_b, n_b: int,
-                        max_block: int = 8192, force: str | None = None):
+                        max_block: int = 32768, force: str | None = None):
     """out[k, b] = sum_i mask_fn(*fields)[k][i] * [code_b[i] == b] with
     the K masks computed INSIDE the kernel from the raw field streams.
 
@@ -404,7 +408,7 @@ def fused_concat_prefix(weights, codes, n_seg: int,
 
 
 def fused_bihistogram(code_a, n_a: int, weights, code_b, n_b: int,
-                      max_block: int = 8192, force: str | None = None):
+                      max_block: int = 32768, force: str | None = None):
     """out[a, b] = sum_i weights[i] * [code_a[i] == a] * [code_b[i] == b]
     as blockwise MXU dots without materializing either (N, n_cat)
     one-hot in HBM (the XLA path for the (vts, age) dart aggregation

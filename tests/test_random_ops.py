@@ -1,17 +1,39 @@
-"""While-free samplers vs reference distributions (scipy ground truth)."""
+"""While-free samplers vs reference distributions (scipy ground truth).
+
+The sampler tests run in ONE fresh child interpreter
+(test_random_ops_isolated): their big eager scan compiles land
+~100 compiles into a full-suite run, where the cumulative XLA:CPU
+defect segfaults (tests/_isolation.py; reproduced 2026-08-19 at
+test_binomial_fixed_large_n inside ``pxla.compile``).
+"""
 import numpy as np
 import pytest
 import jax.numpy as jnp
 import jax.random as jr
 from scipy import stats
 
+from _isolation import ISOLATED, run_isolated
+
 from reina_tpu.ops.random import (binomial_fixed, gamma_fixed,
                                   searchsorted_fixed)
 
 N = 200_000
 
+needs_fresh_process = pytest.mark.skipif(
+    not ISOLATED,
+    reason="compile-fragile: executed inside test_random_ops_isolated's "
+           "child interpreter")
+
+
+def test_random_ops_isolated():
+    """Run the guarded tests below in a fresh interpreter."""
+    if ISOLATED:
+        pytest.skip("already inside the isolated child")
+    run_isolated("tests/test_random_ops.py")
+
 
 @pytest.mark.parametrize("kappa", [1.35, 4.94, 2.0])
+@needs_fresh_process
 def test_gamma_fixed_matches(kappa):
     x = np.asarray(gamma_fixed(jr.PRNGKey(0), kappa, (N,)))
     assert np.isfinite(x).all() and (x > 0).all()
@@ -25,6 +47,7 @@ def test_gamma_fixed_matches(kappa):
 
 @pytest.mark.parametrize("n,p", [(50, 0.3), (1000, 0.02), (5, 0.5),
                                  (100000, 0.001), (40, 0.9), (200, 0.35)])
+@needs_fresh_process
 def test_binomial_fixed_matches(n, p):
     ns = jnp.full((N,), float(n))
     ps = jnp.full((N,), float(p))
@@ -47,6 +70,7 @@ def test_binomial_fixed_matches(n, p):
         assert chi2 < dof + 8 * np.sqrt(2 * dof), (chi2, dof)
 
 
+@needs_fresh_process
 def test_binomial_zero_and_full():
     x = np.asarray(binomial_fixed(jr.PRNGKey(2), jnp.full((1000,), 20.0),
                                   jnp.zeros(1000)))
@@ -56,6 +80,7 @@ def test_binomial_zero_and_full():
     assert (x == 20).all()
 
 
+@needs_fresh_process
 def test_searchsorted_fixed_matches():
     rng = np.random.default_rng(0)
     arr = np.sort(rng.uniform(0, 1, 10000)).astype(np.float32)
@@ -67,6 +92,7 @@ def test_searchsorted_fixed_matches():
 
 
 @pytest.mark.parametrize("n,p", [(2_000_000, 0.1), (100000, 0.4)])
+@needs_fresh_process
 def test_binomial_fixed_large_n(n, p):
     ns = jnp.full((50000,), float(n))
     ps = jnp.full((50000,), float(p))
@@ -76,6 +102,7 @@ def test_binomial_fixed_large_n(n, p):
     np.testing.assert_allclose(x.var(), var, rtol=0.05)
 
 
+@needs_fresh_process
 def test_searchsorted_blocked_matches_reference():
     import jax.numpy as jnp
     import jax.random as jr
@@ -98,6 +125,7 @@ def test_searchsorted_blocked_matches_reference():
     assert bool(jnp.all(got2 == ref))
 
 
+@needs_fresh_process
 def test_searchsorted_compact_matches_fixed():
     """The free-level-1 routing gives bit-identical results to the
     plain bisect on exact-integer arrays (its only engine use)."""
@@ -121,6 +149,7 @@ def test_searchsorted_compact_matches_fixed():
         np.testing.assert_array_equal(got, want)
 
 
+@needs_fresh_process
 def test_compact_indices():
     import jax.random as jr
     import numpy as np

@@ -814,9 +814,11 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         # compaction); infector attempts were folded in above
         src_ok2 = newq1 & state.is_infected
         hit2_l2, _ = edge_passes(src_ok2, dk.e2, with_recurse=False)
-        newq2 = eligible & ~newq1 & (hit_r2ab | hit2_l2)
-
-        return queued | newq1 | newq2, n_d > Tcap
+        # newq2's ~newq1 guard is redundant under the final union:
+        # queued | newq1 | (eligible & ~newq1 & r2) == queued |
+        # (eligible & (hit12 | r2)) — one combining pass, not three
+        return (queued | (eligible & (hit12 | hit_r2ab | hit2_l2)),
+                n_d > Tcap)
 
     # the BFS only runs on days with contact tracing active and a
     # non-empty test queue — its scatter/gather ops are the step's most
@@ -900,9 +902,15 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     # operand in HBM. Exact: k ≤ 128 and one-hots are 0/1, both exact
     # in bf16; accumulation in f32.
     VTS = V * C.IOT_LEN * 2
+    # force="xla": measured in-situ 2026-08-19 (day-200 trace) the XLA
+    # dot form now beats the Pallas block kernel for BOTH histogram
+    # calls (bihistogram 0.91 -> ~0.3 ms/day, by_group 0.92 -> ~0.7;
+    # steady 14.2 -> 13.1 ms/day) — the pre-transposed lhs + weight
+    # folding that fixed the kernel also removed the XLA form's extra
+    # N-passes. Bit-identical either way (exact-integer f32 sums).
     K_age = fused_bihistogram(jnp.where(exposer, vts, -1), VTS,
                               k_s.astype(F32), arrays.ages, A,
-                              force=fm)                          # (VTS, A)
+                              force="xla")                          # (VTS, A)
     K_g = K_age.T.reshape(A, V, C.IOT_LEN, 2)
 
     # per-group infectiousness: iot[v,t] · asymp_mult[v]^s · inf_mult[v],
@@ -1074,7 +1082,10 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         used = buf_part < N
         bp = jnp.clip(buf_part, 0, N - 1)
         contact_p = new_contact[bp] & used
-        b_i = band_t[bp]
+        age_i = age[bp]
+        # band via the ≤101-entry static table (vectorized selects,
+        # ~free) instead of an N-array gather (~58 µs per tier/day)
+        b_i = arrays.band_of_age[age_i].astype(I32)
         v_i = variant_new[bp]
         w = C_av.T[v_i] * Tq.transpose(0, 2, 1)[v_i, b_i]        # (m, A)
         gumb = jr.gumbel(dk.attr_age[part], w.shape, F32)
@@ -1087,8 +1098,12 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         off = v_i * N
         lo_i = off + arrays.age_start[a_star]
         hi_i = off + arrays.age_start[a_star + 1]
-        lo_c = jnp.where(lo_i > 0, cum_cat[jnp.maximum(lo_i - 1, 0)], 0.0)
-        hi_c = cum_cat[jnp.maximum(hi_i - 1, 0)]
+        # ONE batched gather for both bracket endpoints (each gather op
+        # pays a ~30 µs floor; the concat doubles queries for ~2 µs)
+        both = cum_cat[jnp.concatenate([jnp.maximum(lo_i - 1, 0),
+                                        jnp.maximum(hi_i - 1, 0)])]
+        lo_c = jnp.where(lo_i > 0, both[:m], 0.0)
+        hi_c = both[m:]
         x = lo_c + u_src * (hi_c - lo_c)
         pos = searchsorted_fixed(cum_cat, x, side="left",
                                  lo_init=lo_i, hi_init=hi_i,
@@ -1103,8 +1118,8 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         g1 = gamma_fixed(dk.gam1[part], kappa_inc, (m,))
         g2 = gamma_fixed(dk.gam2[part], kappa_o2r, (m,))
         # severity + durations per slot: (variant, severity)-dependent
-        # scales applied to the standard-gamma draws
-        age_i = age[bp]
+        # scales applied to the standard-gamma draws (age_i gathered at
+        # the top of the pipeline)
         dov_i = dov[bp]
         sev_i, outside_i = _severity_draw_slots(
             dk.sev[part], arrays, v_i, age_i, dov_i, day)
@@ -1253,9 +1268,11 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     # ~1 ms/day of write+read traffic in the device trace
     fields = [active, is_infected, has_immunity, dov, detected_today,
               new_st, ever_icu, death_outside, newly]
+    # force="xla": measured faster than the Pallas kernel in situ — see
+    # the K_age call above
     by_group = fused_fn_onehot_sum(
         fields, _output_masks, len(GROUP_ROW), arrays.group_of_agent,
-        cfg.nr_groups + 1, force=fm)[:, :-1].astype(I32)
+        cfg.nr_groups + 1, force="xla")[:, :-1].astype(I32)
     all_detected = carry.all_detected + by_group[5]
     by_group = by_group.at[5].set(all_detected)
 

@@ -202,15 +202,26 @@ def searchsorted_fixed(sorted_arr, queries, side: str = "left",
         hi = jnp.where(active & ~go_right, mid, hi)
         return (lo, hi), None
 
-    # partial unroll: scan-iteration overhead is ~55 µs/round on this
-    # TPU (measured: 21 scanned rounds 2.4 ms vs 1.3-1.6 ms unrolled for
-    # 4096 queries); unroll=7 keeps the jaxpr growth bounded while
-    # removing ~2/3 of the iteration floors. Do NOT full-unroll: fully
-    # unrolled rounds materialize each gather as a separate ~0.23 ms
-    # kCustom op (day-200 trace, 2026-08-19) — 4x slower than the
-    # 3-iteration while.
+    # partial unroll, but keep the while alive: rounds INSIDE a while
+    # cost ~29 µs (lo/hi state stays resident) vs ~58 µs as top-level
+    # fusions that re-read/write the query-state arrays (day-200 trace,
+    # 2026-08-19: 48 materialized rounds/day = 1.8 ms). The TPU backend
+    # FULLY UNROLLS a while with trip count 2, and a peeled scan
+    # remainder materializes too — so pick the largest unroll ≤ 7 with
+    # ≥ 3 trips, padding n_steps to a multiple (extra rounds are no-ops
+    # once lo == hi, just their gather cost; minimized by the search).
+    if n_steps > 7:
+        # cost model: a while trip and a round cost about the same
+        # (~30 µs each) — minimize trips + padded rounds
+        def cost(u):
+            trips = max(3, -(-n_steps // u))
+            return trips + trips * u, -u
+        unroll = min(range(1, 8), key=cost)
+        n_steps = unroll * max(3, -(-n_steps // unroll))
+    else:
+        unroll = n_steps
     (lo, hi), _ = lax.scan(body, (lo, hi), None, length=n_steps,
-                           unroll=min(n_steps, 7))
+                           unroll=unroll)
     return lo
 
 
@@ -259,7 +270,12 @@ def searchsorted_blocked(sorted_arr, queries, side: str = "left",
     """
     n = sorted_arr.shape[0]
     assert n % block == 0, (n, block)
-    cum_b = sorted_arr[block - 1::block]
+    # materialize the subsample: without the barrier XLA fuses the
+    # strided slice into the level-1 gathers, which then read the BIG
+    # array (a real ~58 µs gather per round at 4096 queries, day-200
+    # trace) instead of a ≤104-entry table that lowers to vectorized
+    # selects (~free)
+    cum_b = jax.lax.optimization_barrier(sorted_arr[block - 1::block])
     blk_lo = None if lo_init is None else lo_init // block
     blk_hi = None if hi_init is None else (hi_init + block - 1) // block
     blk = searchsorted_fixed(cum_b, queries, side=side,

@@ -50,8 +50,14 @@ F32 = jnp.float32
 class EngineConfig:
     """Static engine knobs (hashable; passed as a static jit arg)."""
     infection_buffer: int = 1 << 16   # max new contact-infections per day
-    infection_head: int = 1 << 12    # always-on buffer tier; the rest runs
-    #                                  under lax.cond on high-incidence days
+    infection_head: int = 1 << 10    # always-on buffer tier; the rest runs
+    #                                  under lax.cond on high-incidence days.
+    #                                  1024: the bench run's daily new-
+    #                                  infection count has p50 = 75 and
+    #                                  p75 = 845 (364-day HUS, 2026-08-19);
+    #                                  bisect rounds and slot gathers cost
+    #                                  ~7 ns per QUERY in-loop, so a 4096
+    #                                  head overpaid ~1 ms/day on median days
     import_buffer: int = 512          # max imported infections per day
     import_attempts: int = 10         # susceptible-search retries (main.pyx:1657)
     edge_buffer: int = 1 << 19        # infectee-edge table capacity (the
@@ -754,6 +760,9 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
                         hit_r2 = hit_r2.at[t2].set(True, mode="drop")
                     return hit, hit_r2
 
+                # tier conds are cheap when skipped (~0.01 ms even with
+                # pred[N] carries — day-60 trace, conditional.142) and
+                # save the tier's gather/scatter streams on light days
                 if lo == 0:
                     hit, hit_r2 = tier((hit, hit_r2))
                 else:
@@ -1009,20 +1018,22 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         any_ok = jnp.any(cand_ok, axis=1)
         import_agent = cand[jnp.arange(M), first]
         import_ok = slot_valid & any_ok
-        import_tgt = jnp.where(import_ok, import_agent, N)
-        # one packed scatter: value = variant + 1 (0 = not imported)
-        return jnp.zeros(N, I32).at[import_tgt].set(
-            slot_variant + 1, mode="drop")
+        return jnp.where(import_ok, import_agent, N), slot_variant
 
-    # import days are sparse — skip the pick/scatter machinery otherwise
-    imp_pack = jax.lax.cond(tot_imports > 0, do_imports,
-                            lambda _: jnp.zeros(N, I32), 0)
-    import_mask = imp_pack > 0
-    import_var = jnp.maximum(imp_pack - 1, 0)
+    # import days are sparse — skip the pick machinery otherwise. The
+    # cond returns (M,)-sized targets/variants, NOT an (N,)-sized pack:
+    # an N-sized cond output costs a fixed ~0.25 ms/day even on the
+    # skip branch (see the scatter-tail cond below), and the three
+    # M=512-stream scatters replace three full-N merge passes.
+    import_tgt, imp_var = jax.lax.cond(
+        tot_imports > 0, do_imports,
+        lambda _: (jnp.full(M, N, I32), jnp.zeros(M, I32)), 0)
 
-    new_contact = new_contact & ~import_mask
-    newly = new_contact | import_mask
-    variant_new = jnp.where(import_mask, import_var, new_variant)
+    # merge semantics (reference order): an agent picked by an import
+    # loses any same-day contact infection — import variant wins
+    newly = new_contact.at[import_tgt].set(True, mode="drop")
+    variant_new = new_variant.at[import_tgt].set(imp_var, mode="drop")
+    new_contact = new_contact.at[import_tgt].set(False, mode="drop")
 
     # ONE compact buffer over all of today's new infections (contacts +
     # imports): attribution runs on the contact slots, per-infection
@@ -1164,35 +1175,7 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
                                   for i in range(7))
     slot_used = buf_agent < N
 
-    def tiered_scatter(dst, idx, val, add=False):
-        """Slot-domain scatter in two tiers: the first ``Kh`` slots
-        always, the tail only when today's infection count exceeds the
-        head (used slots are a prefix of the slot buffer). The scatter
-        op costs ~5 ns per STREAMED slot through the scalar pipeline —
-        dropped N-sentinels included — so the full-Kcap stream paid
-        ~0.3 ms per scatter even on days with a few hundred infections
-        (device trace, fusion.3527-3566). Head/tail indices are
-        disjoint agent ids (sentinels drop), so the split is bit-exact."""
-        k = idx.shape[0]
-        if k <= Kh:
-            op = dst.at[idx]
-            return (op.add(val, mode="drop") if add
-                    else op.set(val, mode="drop"))
-        dst = (dst.at[idx[:Kh]].add(val[:Kh], mode="drop") if add
-               else dst.at[idx[:Kh]].set(val[:Kh], mode="drop"))
-
-        def tail(d):
-            return (d.at[idx[Kh:]].add(val[Kh:], mode="drop") if add
-                    else d.at[idx[Kh:]].set(val[Kh:], mode="drop"))
-
-        return jax.lax.cond(n_new > Kh, tail, lambda d: d, dst)
-
-    infector = tiered_scatter(
-        state.infector, jnp.where(slot_used, buf_agent, N), infector_new)
     src_scatter = jnp.where(slot_used & (infector_new >= 0), infector_new, N)
-    n_infected = tiered_scatter(
-        state.n_infected, src_scatter,
-        jnp.ones_like(infector_new), add=True)
 
     # initialize newly-infected fields (person_infect, main.pyx:209-235):
     # severity/duration values were drawn on the slot domain and scatter
@@ -1241,17 +1224,54 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     problem = jnp.where(edge_n + n_app > E,
                         problem | C.PROBLEM_TRACING_BUFFER_OVERFLOW, problem)
     e_pos = jnp.where(e_valid, edge_n + e_rank - 1, E)
-    edge_src = tiered_scatter(edge_src, e_pos,
-                              jnp.where(e_valid, infector_new, N))
-    edge_dst = tiered_scatter(edge_dst, e_pos, buf_agent)
+
+    # Slot-domain scatters in two tiers: the first ``Kh`` slots always,
+    # the tails only when today's infection count exceeds the head
+    # (used slots are a prefix of the slot buffer; a scatter costs
+    # ~5 ns per STREAMED slot, dropped sentinels included, so the full
+    # Kcap stream paid ~0.3 ms/scatter on quiet days). The tails ride
+    # ONE lax.cond: a conditional whose output is an (N,)-sized array
+    # costs a fixed ~0.25 ms/day even on the identity branch (day-60
+    # trace, conditional.234-.243), so eight per-array conds were
+    # ~1.8 ms/day of pure branch overhead. Head/tail indices are
+    # disjoint agent ids (sentinels drop), so the split is bit-exact.
+    scatter_jobs = [
+        (state.infector, buf_agent, infector_new, False),
+        (state.n_infected, src_scatter, jnp.ones_like(infector_new), True),
+        (edge_src, e_pos, jnp.where(e_valid, infector_new, N), False),
+        (edge_dst, e_pos, buf_agent, False),
+        (sev, buf_agent, sev_slot.astype(I32), False),
+        (state.death_outside, buf_agent, outside_slot, False),
+        (days_left, buf_agent, incub_slot, False),
+        (o2r, buf_agent, o2r_slot, False),
+    ]
+
+    def _scatter_span(dst, idx, val, add, lo, hi):
+        op = dst.at[idx[lo:hi]]
+        return (op.add(val[lo:hi], mode="drop") if add
+                else op.set(val[lo:hi], mode="drop"))
+
+    scat = tuple(_scatter_span(d, i, v, a, 0, min(Kh, i.shape[0]))
+                 for d, i, v, a in scatter_jobs)
+    lo_t = Kh
+    while lo_t < Kcap:
+        hi_t = min(lo_t * 3, Kcap)
+
+        def _tails(arrs, lo_t=lo_t, hi_t=hi_t):
+            return tuple(_scatter_span(d, j[1], j[2], j[3], lo_t, hi_t)
+                         for d, j in zip(arrs, scatter_jobs))
+
+        # geometric tail tiers: a scatter streams its whole span
+        # (dropped sentinels included, ~5 ns/slot), so one Kh->Kcap
+        # tail paid 8 x 0.31 ms on any day past the head while only
+        # ~hi_t slots were live; the extra conds are ~free when skipped
+        scat = jax.lax.cond(n_new > lo_t, _tails, lambda a: a, scat)
+        lo_t = hi_t
+    (infector, n_infected, edge_src, edge_dst, sev_out, death_outside,
+     days_left, o2r) = scat
     edge_n = jnp.minimum(edge_n + n_app, E)
 
     new_st = jnp.where(newly, C.INCUBATION, new_st)
-    sev_out = tiered_scatter(sev, buf_agent, sev_slot.astype(I32))
-    death_outside = tiered_scatter(state.death_outside, buf_agent,
-                                   outside_slot)
-    days_left = tiered_scatter(days_left, buf_agent, incub_slot)
-    o2r = tiered_scatter(o2r, buf_agent, o2r_slot)
     is_infected = is_infected | newly
     # a new infectee mallocs its OWN (empty) infectee list iff contact
     # tracing is active at its infection time (main.pyx:227-233)

@@ -20,8 +20,10 @@ import numpy as np
 
 from .state import AgentState, DayCarry
 
-FORMAT_VERSION = 3   # v3: AgentState gained ``traceable`` (owns an
-#                      infectee list); v2: DayCarry gained the edge table
+FORMAT_VERSION = 4   # v4: DayCarry gained the cached mobility/nc_ag
+#                      pair; v3: AgentState gained ``traceable`` (owns
+#                      an infectee list); v2: DayCarry gained the edge
+#                      table
 
 
 def save_checkpoint(path: str, state: AgentState, carry: DayCarry,

@@ -188,6 +188,9 @@ def build_run(variables: Dict[str, Any],
         edge_dst=jnp.full(cfg.edge_buffer, n_padded, jnp.int32),
         edge_n=jnp.int32(0),
         edge_floor=jnp.int32(0),
+        # -1 mobility can't match any schedule row -> day 0 recomputes
+        mob=jnp.full(arrays.contact_base.shape[:2], -1.0, jnp.float32),
+        nc_ag=jnp.zeros(n_padded, jnp.float32),
     )
 
     return CompiledRun(

@@ -64,6 +64,12 @@ class DayCarry(NamedTuple):
     edge_n: np.ndarray           # int32 — live prefix length of the table
     edge_floor: np.ndarray       # int32 — table size right after the last
     #                              prune; pruning re-fires at 2× this
+    mob: np.ndarray              # (A, P) float32 — mobility the cached
+    #                              nc_ag below was computed from
+    nc_ag: np.ndarray            # (N,) float32 — per-agent contact-count
+    #                              expansion; a pure function of mobility,
+    #                              recomputed only when an intervention
+    #                              changes it (~0.33 ms/day otherwise)
 
 
 def blank_state(pop: PopulationArrays) -> AgentState:

@@ -856,19 +856,27 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
             eligible = (active & ~is_dead & ~was_detected & (dov < 0)
                         & (age >= mn) & (age <= mx))
             counts = fused_onehot_sum([eligible], arrays.ages, A,
-                                      force=fm)[0]               # (A,)
+                                      force="xla")[0]            # (A,)
             older = jnp.concatenate(
                 [jnp.cumsum(counts[::-1])[:-1][::-1], jnp.zeros(1, F32)])
-            # integer counts up to ~N: 3-term expansion + rounding keeps
-            # the oldest-first boundary math exact (2-term bf16 error
-            # reaches ±16 near 2^21)
-            older_ag = jnp.round(expand_by_age(arrays, older, terms=3))
-            cnt_ag = jnp.round(expand_by_age(arrays, counts, terms=3))
-            need = nr - older_ag
+            # the whole oldest-first decision folds into ONE per-age
+            # acceptance probability computed EXACTLY on the (A,)
+            # domain (counts/older are exact f32 integers < 2^24):
+            # 0 when the quota is exhausted, 1 for fully-covered
+            # cohorts (u < 1.0 always holds for u ~ U[0,1)), the exact
+            # leftover fraction at the boundary age. Only ONE 2-term
+            # expansion of a [0,1] ratio per slot, replacing two
+            # 3-term count expansions; the bf16 residual (~2^-16
+            # relative) wobbles the boundary-age draw by ~1e-5 —
+            # far below sampling noise (docs/parity.md).
+            need_a = nr - older
+            frac_eff = jnp.where(
+                need_a <= 0, 0.0,
+                jnp.where(counts <= need_a, 1.0,
+                          jnp.clip(need_a / jnp.maximum(counts, 1.0),
+                                   0.0, 1.0)))
             u_vac = jr.uniform(dk.vacc[s], (N,), F32)
-            frac = jnp.clip(need / jnp.maximum(cnt_ag, 1.0), 0.0, 1.0)
-            take = eligible & (need > 0) & (
-                (cnt_ag <= need) | (u_vac < frac))
+            take = eligible & (u_vac < expand_by_age(arrays, frac_eff))
             dov = jnp.where(take, day.astype(jnp.int16), dov)
         return dov
 
@@ -881,7 +889,14 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     nc_a = jnp.sum(q, axis=(1, 2))                              # (A,)
     q_hat = q / jnp.maximum(nc_a, 1e-9)[:, None, None]
     z = jr.normal(k_contact, (N,), F32)
-    nc_ag = expand_by_age(arrays, nc_a)
+    # nc_ag is a pure function of mobility (contact_base is static), and
+    # mobility only changes on intervention days — reuse the carried
+    # expansion otherwise (the 2-term one-hot matmul costs ~0.33 ms/day;
+    # the skipped cond is ~free). Bit-identical: same inputs, same dots.
+    nc_ag = jax.lax.cond(
+        jnp.all(sched.mobility == carry.mob),
+        lambda _: carry.nc_ag,
+        lambda _: expand_by_age(arrays, nc_a), 0)
     # iot lookup + exposer gating + contact counts: ONE fused pass
     # (main.pyx:895-953, 1306-1320)
     exposer, inf_base, k_s, vts = fused_map(
@@ -1344,6 +1359,7 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         problem=problem,
         edge_src=edge_src, edge_dst=edge_dst, edge_n=edge_n,
         edge_floor=edge_floor,
+        mob=sched.mobility, nc_ag=nc_ag,
     )
     return new_state, new_carry, out
 

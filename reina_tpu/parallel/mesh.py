@@ -102,8 +102,9 @@ def place_state_carry(mesh: Mesh, state, carry):
     n = state.age.shape[0]
     placement = _agent_placement(mesh, n)
     state = jax.tree.map(placement, state)
-    carry = jax.tree.map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, P())), carry)
+    # the carry is replicated except its (N,)-shaped leaves (the cached
+    # nc_ag expansion), which _agent_placement shards like agent state
+    carry = jax.tree.map(placement, carry)
     return state, carry
 
 

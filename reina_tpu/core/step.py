@@ -63,7 +63,11 @@ class EngineConfig:
     edge_buffer: int = 1 << 19        # infectee-edge table capacity (the
     #                                   vectorized analog of the reference's
     #                                   per-source infectee lists, main.pyx:219)
-    edge_head: int = 1 << 14          # always-on edge tier per tracing round
+    edge_head: int = 1 << 12          # always-on edge tier per tracing round;
+    #                                   finer geometric tiers track edge_n
+    #                                   closer at both ends (a 30k-edge day
+    #                                   streams 37k vs 48k with a 16k head,
+    #                                   an early-CT day 4k vs 16k)
     max_age_cohort: int = 1 << 16     # ≥ largest single-age population
     vacc_slots: int = 1               # vaccination campaign slots (≥ 1)
     nr_variants: int = 2

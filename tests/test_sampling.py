@@ -86,3 +86,5 @@ def test_webui_served():
     from reina_tpu.webui import app_html
     html = app_html()
     assert b"REINA-TPU" in html and b"/graphql" in html
+    # chart interactivity (Plotly-parity): hover readout + drag zoom
+    assert b"attachHover" in html and b"attachZoom" in html

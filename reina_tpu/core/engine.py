@@ -238,8 +238,13 @@ def run_chunk(cfg: EngineConfig, arrays: ModelArrays, schedules: Schedules,
                                base_key, day_keys=dk)
         return (st, cr), out
 
+    # unroll=2: one day-loop while iteration carries ~120 µs of fixed
+    # overhead (measured 7.17 -> 6.93 ms/day end-to-end, trajectory
+    # bit-identical); compile grows ~43% (429 s cold vs 301 s) which
+    # the persistent cache amortizes. unroll=4 would double compile
+    # again for a ~0.06 ms ceiling - not worth the cold-compile risk.
     (state, carry), outs = jax.lax.scan(
-        body, (state, carry), (sched_slice, dkeys))
+        body, (state, carry), (sched_slice, dkeys), unroll=2)
     return state, carry, outs
 
 

@@ -50,7 +50,7 @@ F32 = jnp.float32
 class EngineConfig:
     """Static engine knobs (hashable; passed as a static jit arg)."""
     infection_buffer: int = 1 << 16   # max new contact-infections per day
-    infection_head: int = 1 << 10    # always-on buffer tier; the rest runs
+    infection_head: int = 1 << 9     # always-on buffer tier; the rest runs
     #                                  under lax.cond on high-incidence days.
     #                                  1024: the bench run's daily new-
     #                                  infection count has p50 = 75 and

@@ -19,7 +19,7 @@ from .random import searchsorted_compact
 I32 = jnp.int32
 
 
-def compact_indices(mask, capacity: int, head: int = 1 << 10,
+def compact_indices(mask, capacity: int, head: int = 1 << 9,
                     force: str | None = None):
     """Pack the indices of set positions of ``mask`` into a buffer.
 

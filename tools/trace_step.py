@@ -22,9 +22,15 @@ TRACE_DIR = "/tmp/reina_trace"
 def main():
     import numpy as np
     start_day = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    chunk = 8
+    # chunk=28 matches bench.py's chunk size, so the persistent compile
+    # cache built by a bench run serves the trace too (the 8-day variant
+    # cost a separate 10+ min remote compile every session)
+    chunk = int(os.environ.get("TRACE_CHUNK", "28"))
+    start_day = (start_day // chunk) * chunk
     v = dict(VARIABLE_DEFAULTS)
-    v["simulation_days"] = start_day + 2 * chunk
+    # 365 matches bench.py exactly (schedule length is baked into the
+    # compiled program shape — any other value is a compile-cache miss)
+    v["simulation_days"] = max(365, start_day + 2 * chunk)
     run = build_run(v)
     key = jr.PRNGKey(0)
 

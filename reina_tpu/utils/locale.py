@@ -241,6 +241,157 @@ _FI = {
 
 TRANSLATIONS = {"fi": _FI, "en": {}}
 
+# The reference catalog's exact msgid set (139 unique non-header
+# msgids parsed from /root/reference/locale/fi/LC_MESSAGES/
+# messages.po) — kept as an independent record so the coverage test
+# (tests/test_parallel.py::test_fi_catalog_covers_reference_msgids)
+# is not circular with the _FI table above.
+REFERENCE_MSGIDS = (
+    '%(days)d days',
+    '(cum.)',
+    '(real)',
+    '(simulated)',
+    'Active infections',
+    'Add',
+    'Add a new event: ',
+    'Age of person',
+    'Amount of new infections',
+    'Amount of new weekly infections',
+    'Asymptomatic',
+    'Available ICU units',
+    'Available hospital beds',
+    'Build new ICU units',
+    'Build new hospital beds',
+    'Case fatality ratio (CFR)',
+    'Case fatality ratio (CFR, %)',
+    'Change in mobility compared to baseline',
+    'Contacts per day',
+    'Critical',
+    'Date',
+    'Day of illness',
+    'Days ICU Capacity Exceeded',
+    'Dead',
+    'Description',
+    'Detected cases',
+    'Detected cases (14 day avg.)',
+    'Disease Parameters',
+    'Distributions',
+    'Distributions based on model parameters',
+    'Duration of ICU treatment',
+    'Duration of regular hospital treatment',
+    'Epidemic parameters',
+    'Event',
+    'Events (%(num)s)',
+    'Fatal',
+    'Fatalities',
+    'Forecast of the COVID-19 epidemic: %(name)s',
+    'Free capacity in the healthcare system',
+    'Grocery and pharmacy',
+    'Home',
+    'Hospital beds',
+    'Hospitalized',
+    'ICU units',
+    'ICU units in use',
+    'Illness period',
+    'Import infections',
+    'Import infections from outside the area',
+    'Import infections from outside the area every week',
+    'In ICU',
+    'In hospital ward',
+    'Incubation period',
+    'Infection fatality ratio (IFR)',
+    'Infection fatality ratio (IFR, %)',
+    'Infectiousness over time',
+    'Leisure',
+    'Limit mass gatherings',
+    'Limit population mobility',
+    'Maximum age for intervention',
+    'Maximum age for limitation',
+    'Mean duration from symptom onset to death',
+    'Mean duration from symptom onset to recovery',
+    'Mean incubation period length',
+    'Mild',
+    'Minimum age for intervention',
+    'Minimum age for limitation',
+    'New daily infections (14 day avg.)',
+    'Number of days that ICU units had less than 10%% of capacity left.',
+    'Number of new ICU units built',
+    'Number of new beds built',
+    'Number of people vaccinated weekly',
+    'Other',
+    'Outcome',
+    'Parks',
+    'People wear masks',
+    'People who are a- or presymptomatic at simulation start',
+    'People who are ill with symptoms at simulation start',
+    'People who have recovered from infection at simulation start',
+    'Percentage of infectors that are caught through contact tracing',
+    'Percentage of mild cases that are detected',
+    'Place where intervention happens',
+    'Place where the contacts happen',
+    'Population',
+    'Portion of daily contacts where masks are in use',
+    'Preset',
+    'Probability of dying if no ICU units are available',
+    'Probability of dying if severe symptoms and no hospital beds'
+    ' are available',
+    'Ratio of all infected people who remain asymptomatic',
+    'Ratio of time before hospitalization',
+    'Ratio of time in ward before ICU care',
+    'Recovered',
+    'Reduction in contacts',
+    'Region Details',
+    'Region Name',
+    'Region Population',
+    'Reproductive number (Rₜ)',
+    'Residential',
+    'Restore default events',
+    'Restore defaults',
+    'Restriction Day Index',
+    'Retail and recreation',
+    'Run simulation',
+    'Scenario',
+    'School',
+    'Settings',
+    'Severe',
+    'Simulation result data',
+    'Susceptible',
+    'Symptom severity',
+    'Test all patients with symptoms',
+    'Test all with symptoms and perform contact tracing',
+    'Test people only with severe symptoms',
+    'Testing',
+    'The cumulative sum of daily percentages of mobility restrict'
+    'ions. The index can be used as a rough indicator of harmful '
+    'psychological, social and economic effects. A higher index m'
+    'eans more severe effects.',
+    'Timeframe',
+    'Total infections (cum.)',
+    'Total number of deaths at the end of simulation.',
+    'Transit stations',
+    'Transport',
+    'Vaccinate people against disease',
+    'Vaccinated',
+    'Validation',
+    'Value',
+    'Variant of the disease',
+    'Work',
+    'Workplaces',
+    'beds',
+    'beds in use',
+    'cases',
+    'cases (cum.)',
+    'days',
+    'deaths (cum.)',
+    'infections',
+    'infections/week',
+    'number of contacts',
+    'persons/week',
+    'residents',
+    'value',
+    'years',
+)
+
 
 def set_active_locale(locale: str) -> None:
     _local.locale = locale

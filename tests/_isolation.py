@@ -22,12 +22,17 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ISOLATED = os.environ.get("REINA_ISOLATED_SUBTEST") == "1"
 
 
-def run_isolated(nodeid):
-    """Run one test in a fresh interpreter and assert it passed."""
+def run_isolated(nodeid, timeout=5400):
+    """Run one test (or module) in a fresh interpreter and assert it
+    passed. The default timeout fits test_parallel.py's whole-module
+    child: its ensemble tests compile ~5 distinct vmapped whole-engine
+    programs that deliberately skip the persistent cache (the
+    (de)serialization paths themselves segfault — module docstring), so
+    a cold child takes ~30 min on this host."""
     env = dict(os.environ, REINA_ISOLATED_SUBTEST="1")
     r = subprocess.run(
         [sys.executable, "-m", "pytest", "-q", "-x", nodeid],
-        cwd=_REPO, env=env, capture_output=True, text=True, timeout=1800)
+        cwd=_REPO, env=env, capture_output=True, text=True, timeout=timeout)
     assert r.returncode == 0, (
         f"isolated test failed (rc={r.returncode}):\n"
         f"{r.stdout[-3000:]}\n{r.stderr[-2000:]}")

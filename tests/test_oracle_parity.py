@@ -76,6 +76,33 @@ def oracle_curves():
     return curves
 
 
+@pytest.fixture(scope="module")
+def engine_curves_tiny_head():
+    """Same scenario through the TAIL-TIER code path: an 8-slot
+    infection head makes nearly every epidemic day exceed the head, so
+    compact_part tail tiers, slot_pipeline parts >= 1 and the tiered
+    scatters produce these curves (they never run at default head on
+    3k agents). Oracle parity below proves the tiers are semantically
+    invisible (main.pyx:209-245)."""
+    v = _variables()
+    run = build_run(v, age_counts_override=synthetic_age_counts(N_AGENTS),
+                    pad_multiple=256,
+                    cfg_overrides={"infection_head": 8,
+                                   "infection_buffer": 512})
+    curves = []
+    for s in range(SEEDS):
+        out, _, carry, _ = run_days(run, chunk_days=DAYS - 1, seed=3000 + s)
+        assert int(carry.problem) == 0
+        assert out.by_group[:, 12].sum(axis=1).max() > 8  # tiers engaged
+        curves.append({
+            "all_infected": out.by_group[:, 3].sum(axis=1),
+            "dead": out.by_group[:, 9].sum(axis=1),
+            "in_ward": out.by_group[:, 8].sum(axis=1),
+            "in_icu": out.by_group[:, 6].sum(axis=1),
+        })
+    return curves
+
+
 def _mean_se(curves, key, day):
     vals = np.array([c[key][day] for c in curves], dtype=float)
     return vals.mean(), vals.std(ddof=1) / np.sqrt(len(vals))
@@ -107,6 +134,22 @@ def test_growth_rate_matches(engine_curves, oracle_curves):
     tol = 4 * np.hypot(re.std(ddof=1) / np.sqrt(len(re)),
                        ro.std(ddof=1) / np.sqrt(len(ro))) + 0.03
     assert abs(re.mean() - ro.mean()) <= tol, (re.mean(), ro.mean())
+
+
+def test_tail_tier_epidemic_matches_oracle(engine_curves_tiny_head,
+                                           oracle_curves):
+    """Oracle parity with the infection-slot TAIL TIERS doing the work:
+    cumulative-infection curves from the 8-slot-head engine agree with
+    the sequential oracle within sampling error — a wrong tail tier,
+    tail scatter or per-tier key shifts the epidemic and turns this
+    red."""
+    for day in (10, 20, DAYS - 1):
+        me, se_e = _mean_se(engine_curves_tiny_head, "all_infected", day)
+        mo, se_o = _mean_se(oracle_curves, "all_infected", day)
+        tol = 4 * np.hypot(se_e, se_o) + 0.10 * max(mo, 10)
+        assert abs(me - mo) <= tol, (
+            f"day {day}: tiny-head engine {me:.1f}±{se_e:.1f} "
+            f"vs oracle {mo:.1f}±{se_o:.1f}")
 
 
 def test_hospital_load_matches(engine_curves, oracle_curves):

@@ -86,5 +86,7 @@ def test_webui_served():
     from reina_tpu.webui import app_html
     html = app_html()
     assert b"REINA-TPU" in html and b"/graphql" in html
-    # chart interactivity (Plotly-parity): hover readout + drag zoom
+    # chart interactivity (Plotly-parity): hover readout, drag zoom,
+    # shift-drag pan when zoomed, per-card PNG export
     assert b"attachHover" in html and b"attachZoom" in html
+    assert b"startPan" in html and b"downloadPng" in html

@@ -56,12 +56,20 @@ def main() -> None:
         day += chunk
     infected_final = int(np.asarray(outs.by_group)[-1, 3].sum())
     wall = time.perf_counter() - t0
-    print(json.dumps({
+    n_agents = int(run.n_agents)
+    record = {
         "overrides": overrides,
         "wall_s": round(wall, 3),
         "ms_per_day": round(wall / day * 1000, 2),
+        "n_agents": n_agents,
+        "agent_days_per_s": round(n_agents * day / wall),
         "final_all_infected": infected_final,
-    }))
+    }
+    # mirror bench.py: fallback runs must be flagged or they read as
+    # Pallas-comparable headline numbers (ADVICE.md round 3)
+    if os.environ.get("REINA_PALLAS") == "0":
+        record["pallas"] = "FALLBACK"
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -20,10 +20,46 @@ import numpy as np
 
 from .state import AgentState, DayCarry
 
-FORMAT_VERSION = 4   # v4: DayCarry gained the cached mobility/nc_ag
-#                      pair; v3: AgentState gained ``traceable`` (owns
-#                      an infectee list); v2: DayCarry gained the edge
-#                      table
+FORMAT_VERSION = 5   # v5: the infectee edge table became per-source
+#                      buckets, EXCLUDED from the file (pure function
+#                      of per-agent state — rebuild_buckets); v4:
+#                      DayCarry gained the cached mobility/nc_ag pair;
+#                      v3: AgentState gained ``traceable``; v2:
+#                      DayCarry gained the edge table
+
+# derived at load time instead of stored (432 MB at HUS scale)
+_REBUILT_CARRY_FIELDS = ("bkt_dst", "bkt_fill")
+
+
+def rebuild_buckets(state: AgentState, capb: int):
+    """Reconstruct the per-source infectee buckets from per-agent
+    state — bucket content is a pure function of (infector, traceable,
+    day_of_infection): source s's bucket holds its recorded infectees
+    in (day_of_infection, agent id) order, exactly the engine's append
+    order (appends happen day by day; within a day the slot buffer is
+    ascending agent ids and the append sort is stable), truncated to
+    ``capb``; fill counts every recorded append (uncapped, matching
+    the engine's overflow bookkeeping)."""
+    n = len(np.asarray(state.age))
+    inf = np.asarray(state.infector).astype(np.int64)
+    doi = np.asarray(state.day_of_infection).astype(np.int64)
+    traceable = np.asarray(state.traceable)
+    t = np.flatnonzero(inf >= 0)
+    t = t[traceable[inf[t]]]
+    bkt = np.full((n, capb), n, np.int32)
+    fill = np.zeros(n, np.int32)
+    if len(t):
+        order = np.lexsort((t, doi[t], inf[t]))
+        t = t[order]
+        s = inf[t]
+        idx = np.arange(len(s))
+        first = np.r_[True, s[1:] != s[:-1]]
+        start = np.maximum.accumulate(np.where(first, idx, 0))
+        rank = idx - start
+        keep = rank < capb
+        bkt[s[keep], rank[keep]] = t[keep]
+        np.add.at(fill, s, 1)
+    return bkt, fill
 
 
 def save_checkpoint(path: str, state: AgentState, carry: DayCarry,
@@ -34,7 +70,12 @@ def save_checkpoint(path: str, state: AgentState, carry: DayCarry,
     for name, val in zip(AgentState._fields, state):
         arrays["state__" + name] = np.asarray(val)
     for name, val in zip(DayCarry._fields, carry):
+        if name in _REBUILT_CARRY_FIELDS:
+            continue
         arrays["carry__" + name] = np.asarray(val)
+    n_agents = np.asarray(state.age).shape[0]
+    arrays["bucket_capacity"] = np.int32(
+        np.asarray(carry.bkt_dst).shape[0] // n_agents)
     if outputs is not None:
         for name, val in zip(type(outputs)._fields, outputs):
             arrays["out__" + name] = np.asarray(val)
@@ -60,7 +101,11 @@ def load_checkpoint(path: str):
     if int(z["format_version"]) != FORMAT_VERSION:
         raise ValueError(f"unsupported checkpoint version in {path}")
     state = AgentState(*(z["state__" + n] for n in AgentState._fields))
-    carry = DayCarry(*(z["carry__" + n] for n in DayCarry._fields))
+    bkt, fill = rebuild_buckets(state, int(z["bucket_capacity"]))
+    carry = DayCarry(*(
+        {"bkt_dst": bkt.reshape(-1), "bkt_fill": fill}[n]
+        if n in _REBUILT_CARRY_FIELDS else z["carry__" + n]
+        for n in DayCarry._fields))
     outputs = None
     if "out__by_group" in z.files:
         outputs = DayOutputs(*(z["out__" + n] for n in DayOutputs._fields))

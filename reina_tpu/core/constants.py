@@ -57,6 +57,9 @@ PROBLEM_CONTACT_PROBABILITY = 1 << 2
 PROBLEM_HOSPITAL_ACCOUNTING = 1 << 3
 PROBLEM_WRONG_STATE = 1 << 4
 PROBLEM_TRACING_BUFFER_OVERFLOW = 1 << 5
+PROBLEM_TOO_MANY_INFECTEES = 1 << 6    # per-source infectee-bucket
+#                                        overflow (reference MAX_INFECTEES
+#                                        guard, main.pyx:128,219-220)
 
 PROBLEM_TO_STR = {
     PROBLEM_INFECTION_BUFFER_OVERFLOW: "New-infection buffer overflow",
@@ -65,6 +68,7 @@ PROBLEM_TO_STR = {
     PROBLEM_HOSPITAL_ACCOUNTING: "Hospital accounting failure",
     PROBLEM_WRONG_STATE: "Wrong state",
     PROBLEM_TRACING_BUFFER_OVERFLOW: "Contact-tracing buffer overflow",
+    PROBLEM_TOO_MANY_INFECTEES: "Too many infectees",
 }
 
 # Infectiousness over time relative to symptom onset, days -10..+10.

@@ -117,6 +117,9 @@ def build_run(variables: Dict[str, Any],
         band_of_age=jnp.asarray(pop.band_of_age),
         band_counts=jnp.asarray(pop.band_counts),
         group_of_agent=jnp.asarray(pop.group_of_agent),
+        active_per_group=jnp.asarray(np.bincount(
+            np.asarray(pop.group_of_agent)[np.asarray(pop.active)],
+            minlength=G + 1)[:G].astype(np.int32)),
         contact_base=jnp.asarray(contact_base),
         p_susc=jnp.asarray(disease.p_susc),
         sigma_max=jnp.asarray(sigma_max),
@@ -184,10 +187,9 @@ def build_run(variables: Dict[str, Any],
         all_detected=jnp.asarray(initial_all_detected(
             ipc.confirmed_cases, group_of_age, G, nr_ages)),
         problem=jnp.int32(0),
-        edge_src=jnp.full(cfg.edge_buffer, n_padded, jnp.int32),
-        edge_dst=jnp.full(cfg.edge_buffer, n_padded, jnp.int32),
-        edge_n=jnp.int32(0),
-        edge_floor=jnp.int32(0),
+        bkt_dst=jnp.full(n_padded * cfg.max_infectees, n_padded,
+                         jnp.int32),
+        bkt_fill=jnp.zeros(n_padded, jnp.int32),
         # -1 mobility can't match any schedule row -> day 0 recomputes
         mob=jnp.full(arrays.contact_base.shape[:2], -1.0, jnp.float32),
         nc_ag=jnp.zeros(n_padded, jnp.float32),

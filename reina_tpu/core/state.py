@@ -47,10 +47,14 @@ class AgentState(NamedTuple):
 
 
 class DayCarry(NamedTuple):
-    """Ledgers carried across days: scalars plus the infectee edge
-    table — the vectorized analog of the reference's per-source
-    ``infectees`` lists (main.pyx:219-223), appended on infection under
-    contact tracing and scanned by the tracing BFS."""
+    """Ledgers carried across days: scalars plus the per-source
+    infectee buckets — the vectorized twin of the reference's
+    fixed-capacity per-person ``infectees`` arrays
+    (main.pyx:128,209-233), appended on infection when the source owns
+    a list and read by the tracing BFS with queue-sized gathers.
+    The buckets are NOT checkpointed: their content is a pure function
+    of per-agent state (infector, traceable, day_of_infection) and is
+    rebuilt on resume (checkpoint.rebuild_buckets)."""
     day: np.ndarray              # int32
     beds_avail: np.ndarray       # int32
     icu_avail: np.ndarray        # int32
@@ -59,11 +63,18 @@ class DayCarry(NamedTuple):
     weekly_leftover: np.ndarray  # (V,) float32 — fractional import carry
     all_detected: np.ndarray     # (G,) int32 — cumulative detections by group
     problem: np.ndarray          # int32 bitmask of problem codes
-    edge_src: np.ndarray         # (E,) int32 — infector of edge e
-    edge_dst: np.ndarray         # (E,) int32 — infectee of edge e
-    edge_n: np.ndarray           # int32 — live prefix length of the table
-    edge_floor: np.ndarray       # int32 — table size right after the last
-    #                              prune; pruning re-fires at 2× this
+    bkt_dst: np.ndarray          # (N·CAPB,) int32 — source s's infectees
+    #                              (row s = slice [s·CAPB, (s+1)·CAPB)) in
+    #                              infection order; sentinel N beyond its
+    #                              fill count. Kept FLAT on device: the
+    #                              (N, CAPB) view would lane-pad each
+    #                              64-wide row to 128 (2× HBM) and every
+    #                              flat<->2-D reshape is a ~2 ms TPU
+    #                              relayout copy
+    bkt_fill: np.ndarray         # (N,) int32 — edges ever appended to
+    #                              s's bucket (uncapped; entries at
+    #                              index >= CAPB were dropped and set
+    #                              the TOO_MANY_INFECTEES problem)
     mob: np.ndarray              # (A, P) float32 — mobility the cached
     #                              nc_ag below was computed from
     nc_ag: np.ndarray            # (N,) float32 — per-agent contact-count

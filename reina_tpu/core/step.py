@@ -60,14 +60,16 @@ class EngineConfig:
     #                                  head overpaid ~1 ms/day on median days
     import_buffer: int = 512          # max imported infections per day
     import_attempts: int = 10         # susceptible-search retries (main.pyx:1657)
-    edge_buffer: int = 1 << 19        # infectee-edge table capacity (the
-    #                                   vectorized analog of the reference's
-    #                                   per-source infectee lists, main.pyx:219)
-    edge_head: int = 1 << 12          # always-on edge tier per tracing round;
-    #                                   finer geometric tiers track edge_n
-    #                                   closer at both ends (a 30k-edge day
-    #                                   streams 37k vs 48k with a 16k head,
-    #                                   an early-CT day 4k vs 16k)
+    max_infectees: int = 64           # per-source infectee-bucket capacity —
+    #                                   the reference's MAX_INFECTEES
+    #                                   (main.pyx:128); overflow sets the
+    #                                   TOO_MANY_INFECTEES problem like the
+    #                                   reference (main.pyx:219-220)
+    bucket_head: int = 4              # always-read bucket columns per
+    #                                   tracing pass; deeper columns run in
+    #                                   geometric tiers under lax.cond only
+    #                                   when some queued source has that
+    #                                   many infectees
     max_age_cohort: int = 1 << 16     # ≥ largest single-age population
     vacc_slots: int = 1               # vaccination campaign slots (≥ 1)
     nr_variants: int = 2
@@ -91,6 +93,8 @@ class ModelArrays(NamedTuple):
     band_of_age: jnp.ndarray     # (A,) int32
     band_counts: jnp.ndarray     # (B,) int32
     group_of_agent: jnp.ndarray  # (N,) int32 — output age group (G = padding)
+    active_per_group: jnp.ndarray  # (G,) int32 — static active counts
+    #                                (phase 7 derives susceptible from it)
     # contacts
     contact_base: jnp.ndarray    # (A, P, B) float32
     # disease (leading axis = variant)
@@ -545,6 +549,37 @@ def _output_masks(active, is_inf, has_imm, dov, det, st, ever_icu,
     ]
 
 
+def _output_masks_reduced(active, is_inf, has_imm, dov, det, st, ever_icu,
+                          dout, newly):
+    """The 10 GROUP_ROW masks that genuinely need the agent axis. The
+    other 3 are exact per-group identities (integer counts < 2^24):
+      susceptible = active_per_group − all_infected   (active is static)
+      infected    = all_infected − dead − recovered   (is_infected and
+                    has_immunity are exclusive; has_immunity ⇔ DEAD or
+                    RECOVERED — the same identity test_conservation
+                    asserts)
+      all_detected = detected + carried cumulative
+    Dropping them cuts the phase-7 MXU lhs from (N, 13) to (N, 10)
+    bf16 — the lhs materialization (concat + per-mask reshapes) was
+    ~0.6 ms/day in the day-200 device trace."""
+    st = st.astype(jnp.int32)
+    dov = dov.astype(jnp.int32)
+    ever = is_inf | has_imm
+    dead = st == C.DEAD
+    return [
+        active & (dov >= 0),                  # vaccinated
+        active & ever,                        # all_infected
+        active & det,                         # detected (today)
+        active & (st == C.IN_ICU),            # in_icu
+        active & ever_icu,                    # cum_icu
+        active & (st == C.HOSPITALIZED),      # in_ward
+        active & dead,                        # dead
+        active & (st == C.RECOVERED),         # recovered
+        active & dead & dout,                 # non_hospital_deaths
+        active & newly,                       # new_infections
+    ]
+
+
 def tier_bounds(head: int, cap: int):
     """Geometric buffer tiers (head, 3·head, …): the single source of
     truth for tier sizes — shared by the tier loops AND the per-day
@@ -589,8 +624,10 @@ def derive_day_keys(cfg: EngineConfig, base_key, day) -> DayKeys:
     k_offset = ks[14]
     p1 = len(tier_bounds(min(cfg.infection_head, cfg.infection_buffer),
                          cfg.infection_buffer))
-    pe = len(tier_bounds(min(cfg.edge_head, cfg.edge_buffer),
-                         cfg.edge_buffer))
+    # bucket passes draw per (member tier × bucket-column tier)
+    nb = len(tier_bounds(min(cfg.bucket_head, cfg.max_infectees),
+                         cfg.max_infectees))
+    pe = p1 * nb
     pk = len(tier_bounds(min(cfg.infection_head, cfg.infection_buffer),
                          cfg.infection_buffer))
 
@@ -676,39 +713,48 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     is_dead = st == C.DEAD
 
     Tcap = cfg.infection_buffer  # compact traced-source buffer size
-    E = cfg.edge_buffer
-    Eh = min(cfg.edge_head, E)
-    edge_src, edge_dst, edge_n = carry.edge_src, carry.edge_dst, carry.edge_n
+    CAPB = cfg.max_infectees
+    bkt_fill = carry.bkt_fill
+    # the bucket table stays FLAT (N·CAPB,) on device: a (N, CAPB)
+    # view would be tiled T(8,128) with the 64-wide rows lane-padded to
+    # 128 (2× HBM) and every flat<->2-D reshape a ~2 ms relayout copy
+    # (day-200 trace: reshape.1606/.16361 + layout-flip copy pairs)
+    bd_flat = carry.bkt_dst
+    bucket_tiers = tier_bounds(min(cfg.bucket_head, CAPB), CAPB)
+    member_tiers = tier_bounds(min(cfg.infection_head, Tcap), Tcap)
 
     def do_tracing(queued):
         """2-level contact-tracing BFS (perform_contact_tracing,
-        main.pyx:495-512) with ONE N-compaction total.
+        main.pyx:495-512) over per-source infectee BUCKETS — the
+        vectorized twin of the reference's fixed-capacity per-person
+        ``infectees`` arrays (main.pyx:128,209-233).
 
         A candidate is queued iff ANY of its edges succeeds a
         Bernoulli(trace_p) draw — per-edge draws are exactly the
         reference's first-edge-wins queueing (P = 1 − (1−p)^n).
-        Infectee edges come from the edge table (appended at infection
-        when contact tracing was active, exactly the reference's
-        per-source lists, main.pyx:219-223; removed sources never fire
-        because ``src_ok`` requires the source to still be infected —
-        the reference frees lists on removal, main.pyx:301-307).
-        Infector links come straight from the infector array (they
-        survive the source's removal, like the reference's persistent
-        ``infector`` field).
+        Infectee edges come from the bucket rows of queued sources
+        (appended at infection when the SOURCE owned a list,
+        main.pyx:218-223); removed sources never fire because the pass
+        requires the source to still be infected — the reference frees
+        lists on removal (main.pyx:301-307). Infector links come
+        straight from the infector array (they survive the source's
+        removal, like the reference's persistent ``infector`` field).
 
-        Level-2 recursion is folded INTO level 1's edge passes: any
-        level-1 hit target t is queued iff it is eligible (eligibility
-        is static within the morning drain — the reference checks the
-        same dead/detected/queued flags it started the drain with), and
-        a queued t immediately attempts to queue ITS infector. That
-        attempt's Bernoulli draw is keyed per-MEMBER (one (N,) uniform
-        table, indexed by t), so a t reached through several edges
-        draws the same value — exactly one recursion attempt per queued
-        member, as in the reference — without compacting the level-1
-        frontier. Level-2 infectee edges run one more edge-table pass
-        with the level-1 frontier as a mask. The old formulation
-        compacted the frontier (an N-cumsum plus a 21-round bisect per
-        level); this one only compacts the drained queue."""
+        The earlier formulation streamed an append-log edge TABLE:
+        three full-table passes per tracing day cost ~2.7 ms/day at
+        HUS scale (day-200 device trace) because every pass touched
+        every live edge regardless of the queue size. Bucket rows make
+        each lookup queue-sized — (member tier × bucket-column tier)
+        gathers gated by the members' actual fill counts — and remove
+        the prune/compaction machinery entirely (buckets of removed
+        sources are simply never read again).
+
+        Level-2 recursion onto infectors is folded into level 1's
+        passes via a per-MEMBER pre-folded table (r2_tab): a target t
+        reached through several edges draws the same value — exactly
+        one recursion attempt per queued member, as in the reference.
+        Level-2 infectee edges read the buckets of the compacted
+        level-1 frontier."""
         eligible = active & ~is_dead & ~was_detected & ~queued
         # per-member level-2 infector-attempt draws (same draw no matter
         # how many edges reached the member)
@@ -716,12 +762,7 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         infector = state.infector
         # pre-fold the whole level-2 attempt into ONE per-agent table:
         # r2_tab[t] = t's infector if t would recurse when queued, else
-        # the drop sentinel. Edge streams then pay a single r2_tab
-        # gather where the inline form cost three (eligible, u_mem,
-        # infector) — gathers are the scalar-pipeline bound here.
-        # (A fused_map formulation of this block measured SLOWER: the
-        # custom-call forces its operands/results to materialize where
-        # XLA's own fusions fold them into the consumers.)
+        # the drop sentinel.
         r2_tab = jnp.where(eligible & (u_mem < sched.trace_p)
                            & (infector >= 0), infector, N)
 
@@ -730,58 +771,69 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
             (buffer-sized): queued iff eligible, then Bernoulli via the
             member-keyed table, targeting their infector. hit_ok
             implies tgt < N (a fired edge has a real target), so the
-            clip never changes a consulted value — this avoids padding
-            r2_tab to (N+1,), an N-sized copy per tracing day."""
+            clip never changes a consulted value."""
             return jnp.where(hit_ok, r2_tab[jnp.clip(tgt, 0, N - 1)], N)
 
-        def edge_passes(src_ok, ktab, with_recurse, hit=None, hit_r2=None):
-            """Geometric-tier pass over the edge table: hit mask plus
-            (optionally) inline level-2 infector candidates. Existing
-            (N+1,) accumulators can be passed in — scattering into one
-            base is the OR of two scatter sets, so sharing buffers
-            saves the zero-init and the OR pass."""
-            if hit is None:
-                hit = jnp.zeros(N, bool)
-            if hit_r2 is None:
-                hit_r2 = jnp.zeros(N, bool)
-            lo, part = 0, 0
-            while lo < E:
-                seg = Eh if lo == 0 else min(lo * 3, E) - lo
+        def bucket_passes(members_buf, src_ok, ktab, with_recurse,
+                          hit, hit_r2, n_m):
+            """Read the infectee buckets of compacted ``members_buf``
+            in (member tier × bucket-column tier) blocks; scatter fired
+            targets (and their folded level-2 infector candidates) into
+            the shared hit buffers. ``src_ok`` (or None if members are
+            prefiltered) gates per member; sentinel members read row
+            N−1 harmlessly (their fill is forced to 0)."""
+            def mem_tier(carry, lo, seg, part):
+                hit, hit_r2 = carry
+                seg_buf = jax.lax.slice_in_dim(members_buf, lo, lo + seg)
+                used = seg_buf < N
+                bp = jnp.clip(seg_buf, 0, N - 1)
+                ok_m = used if src_ok is None else used & src_ok[bp]
+                fill_m = jnp.where(ok_m, jnp.minimum(bkt_fill[bp], CAPB), 0)
+                mf = jnp.max(fill_m)
 
-                def tier(carry, lo=lo, seg=seg, part=part):
+                def col_tier(carry, jlo, jseg, jpart):
                     hit, hit_r2 = carry
-                    src_seg = jax.lax.slice_in_dim(edge_src, lo, lo + seg)
-                    dst_seg = jax.lax.slice_in_dim(edge_dst, lo, lo + seg)
-                    valid = (lo + jnp.arange(seg, dtype=I32)) < edge_n
-                    u = jr.uniform(ktab[part], (seg,), F32)
-                    fire = (valid & (src_seg < N) & (u < sched.trace_p)
-                            & src_ok[jnp.clip(src_seg, 0, N - 1)])
-                    hit = hit.at[jnp.where(fire, dst_seg, N)].set(
-                        True, mode="drop")
+                    cols = jlo + jnp.arange(jseg, dtype=I32)
+                    idx = (bp[:, None] * CAPB + cols[None, :]).reshape(-1)
+                    dst = bd_flat[idx].reshape(seg, jseg)
+                    live = cols[None, :] < fill_m[:, None]
+                    u = jr.uniform(ktab[part * len(bucket_tiers) + jpart],
+                                   (seg, jseg), F32)
+                    fire = live & (u < sched.trace_p)
+                    tgt = jnp.where(fire, dst, N).reshape(-1)
+                    hit = hit.at[tgt].set(True, mode="drop")
                     if with_recurse:
-                        t2 = recurse_targets(
-                            jnp.where(fire, dst_seg, N), fire)
+                        t2 = jnp.where(
+                            fire, r2_tab[jnp.clip(dst, 0, N - 1)],
+                            N).reshape(-1)
                         hit_r2 = hit_r2.at[t2].set(True, mode="drop")
                     return hit, hit_r2
 
-                # tier conds are cheap when skipped (~0.01 ms even with
-                # pred[N] carries — day-60 trace, conditional.142) and
-                # save the tier's gather/scatter streams on light days
+                for jpart, (jlo, jseg) in enumerate(bucket_tiers):
+                    if jlo == 0:
+                        hit, hit_r2 = col_tier((hit, hit_r2), jlo, jseg,
+                                               jpart)
+                    else:
+                        hit, hit_r2 = jax.lax.cond(
+                            mf > jlo,
+                            lambda c, jlo=jlo, jseg=jseg, jpart=jpart:
+                                col_tier(c, jlo, jseg, jpart),
+                            lambda c: c, (hit, hit_r2))
+                return hit, hit_r2
+
+            for part, (lo, seg) in enumerate(member_tiers):
                 if lo == 0:
-                    hit, hit_r2 = tier((hit, hit_r2))
+                    hit, hit_r2 = mem_tier((hit, hit_r2), lo, seg, part)
                 else:
                     hit, hit_r2 = jax.lax.cond(
-                        edge_n > lo, tier, lambda c: c, (hit, hit_r2))
-                lo += seg
-                part += 1
+                        n_m > lo,
+                        lambda c, lo=lo, seg=seg, part=part:
+                            mem_tier(c, lo, seg, part),
+                        lambda c: c, (hit, hit_r2))
             return hit, hit_r2
 
         # ---- level 1 (sources: the drained queue, compacted once) ----
-        # the queue is usually far smaller than the Tcap buffer, so the
-        # infector draws/gathers/scatters run in geometric tiers that
-        # track the actual drain size (like the compaction itself)
         dbuf, n_d = compact_indices(drained & active, Tcap, force=fm)
-        Th = min(cfg.infection_head, Tcap)
 
         def l1_part(carry, lo, seg, part):
             hit1, hit_r2a = carry
@@ -797,41 +849,35 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
             hit_r2a = hit_r2a.at[t2a].set(True, mode="drop")
             return hit1, hit_r2a
 
-        # (N,)-sized with mode="drop" scatters (the N sentinel drops):
-        # (N+1,)-sized buffers forced a pred[N+1]->pred[N] slice copy
-        # per consumer (~0.07 ms each, day-200 trace)
+        # (N,)-sized with mode="drop" scatters (the N sentinel drops)
         hit1 = jnp.zeros(N, bool)
         hit_r2a = jnp.zeros(N, bool)
-        hit1, hit_r2a = l1_part((hit1, hit_r2a), 0, Th, 0)
-        lo, part = Th, 1
-        while lo < Tcap:
-            seg = min(lo * 3, Tcap) - lo
-            hit1, hit_r2a = jax.lax.cond(
-                n_d > lo,
-                lambda c, lo=lo, seg=seg, part=part: l1_part(c, lo, seg, part),
-                lambda c: c, (hit1, hit_r2a))
-            lo += seg
-            part += 1
-        # level-1 infectee edges (+ inline level-2 infector candidates):
-        # the edge scatters accumulate straight into l1's buffers, so
-        # hit12 = hit1 | hit2 and hit_r2ab = hit_r2a | hit_r2b come out
-        # of the scatters themselves (no zero-inits, no OR passes)
-        src_ok1 = drained & state.is_infected
-        hit12, hit_r2ab = edge_passes(src_ok1, dk.e1, with_recurse=True,
-                                      hit=hit1, hit_r2=hit_r2a)
+        for part, (lo, seg) in enumerate(member_tiers):
+            if lo == 0:
+                hit1, hit_r2a = l1_part((hit1, hit_r2a), lo, seg, part)
+            else:
+                hit1, hit_r2a = jax.lax.cond(
+                    n_d > lo,
+                    lambda c, lo=lo, seg=seg, part=part:
+                        l1_part(c, lo, seg, part),
+                    lambda c: c, (hit1, hit_r2a))
+        # level-1 infectee buckets (+ inline level-2 infector
+        # candidates), accumulating straight into l1's buffers
+        hit12, hit_r2ab = bucket_passes(
+            dbuf, state.is_infected, dk.e1, True, hit1, hit_r2a, n_d)
 
         newq1 = eligible & hit12
 
-        # ---- level 2 ----
-        # infectee edges of the level-1 frontier (mask-based — no
-        # compaction); infector attempts were folded in above
-        src_ok2 = newq1 & state.is_infected
-        hit2_l2, _ = edge_passes(src_ok2, dk.e2, with_recurse=False)
-        # newq2's ~newq1 guard is redundant under the final union:
-        # queued | newq1 | (eligible & ~newq1 & r2) == queued |
-        # (eligible & (hit12 | r2)) — one combining pass, not three
+        # ---- level 2: infectee buckets of the compacted frontier ----
+        # (infector attempts were folded in above); the fill>0 filter
+        # keeps the compaction sized to members who own non-empty lists
+        frontier = newq1 & state.is_infected & (bkt_fill > 0)
+        fbuf, n_f = compact_indices(frontier, Tcap, force=fm)
+        hit2_l2, _ = bucket_passes(
+            fbuf, None, dk.e2, False,
+            jnp.zeros(N, bool), jnp.zeros(N, bool), n_f)
         return (queued | (eligible & (hit12 | hit_r2ab | hit2_l2)),
-                n_d > Tcap)
+                (n_d > Tcap) | (n_f > Tcap))
 
     # the BFS only runs on days with contact tracing active and a
     # non-empty test queue — its scatter/gather ops are the step's most
@@ -1200,49 +1246,56 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     # severity/duration values were drawn on the slot domain and scatter
     # straight into the agent arrays (every newly agent owns one slot)
 
-    # append infectee edges (reference main.pyx:218-223: the source's
-    # list gains the infectee iff the SOURCE owns a list, i.e. contact
+    # append infectee edges into per-source buckets (person_infect,
+    # main.pyx:209-233: the source's fixed-capacity infectee array
+    # gains the infectee iff the SOURCE owns a list, i.e. contact
     # tracing was active when the source itself was infected — not iff
-    # tracing is active today). Before appending, prune dead edges
-    # (removed sources) if the table would otherwise overflow.
+    # tracing is active today). Same-source slots within one day need
+    # distinct bucket columns, so the day's appends are sorted by
+    # source and ranked within runs; lax.switch picks the smallest
+    # slot-tier prefix covering today's count so quiet days sort only
+    # the head. Per-source overflow (rank past CAPB) drops the edge
+    # and raises the reference's TOO_MANY_INFECTEES problem
+    # (main.pyx:219-220).
     e_valid = slot_used & (infector_new >= 0) & tr_slot
-    e_rank = jnp.cumsum(e_valid.astype(I32))
-    n_app = e_rank[-1]
+    n_app = jnp.sum(e_valid, dtype=I32)
+    SENT = jnp.int32(1 << 30)
+    sort_src = jnp.where(e_valid, infector_new, SENT)
 
-    def prune_edges(args):
-        es, ed, en, _floor = args
-        # an edge can still fire only if its source is still infected
-        # (removed sources free their lists, main.pyx:301-307) AND its
-        # target could still be queued: was_detected and DEAD are
-        # monotone, so edges into detected/dead targets are dead weight
-        # every future tracing pass would stream past
-        dst_ok = ~was_detected & ~is_dead
-        alive = ((jnp.arange(E, dtype=I32) < en) & (es < N)
-                 & is_infected[jnp.clip(es, 0, N - 1)]
-                 & dst_ok[jnp.clip(ed, 0, N - 1)])
-        buf, cnt = compact_indices(alive, E, force=fm)
-        buf_c = jnp.clip(buf, 0, E - 1)
-        keep = buf < E
-        es2 = jnp.where(keep, es[buf_c], N)
-        ed2 = jnp.where(keep, ed[buf_c], N)
-        cnt = jnp.minimum(cnt, E)
-        return es2, ed2, cnt, cnt
+    def append_branch(end):
+        def branch(args):
+            bd, fill, prob = args
+            src_k = jax.lax.slice_in_dim(sort_src, 0, end)
+            dst_k = jax.lax.slice_in_dim(buf_agent, 0, end)
+            src_s, dst_s = jax.lax.sort([src_k, dst_k], num_keys=1)
+            idx = jnp.arange(end, dtype=I32)
+            is_first = jnp.concatenate(
+                [jnp.ones(1, bool), src_s[1:] != src_s[:-1]])
+            run_start = jax.lax.cummax(jnp.where(is_first, idx, 0))
+            rank = idx - run_start
+            valid = src_s < SENT
+            sp = jnp.clip(src_s, 0, N - 1)
+            j = fill[sp] + rank
+            store = valid & (j < CAPB)
+            pos = jnp.where(store, sp * CAPB + jnp.minimum(j, CAPB - 1),
+                            N * CAPB)
+            bd = bd.at[pos].set(jnp.where(store, dst_s, N), mode="drop")
+            fill = fill.at[jnp.where(valid, sp, N)].add(
+                jnp.where(valid, 1, 0), mode="drop")
+            overflow = jnp.any(valid & (j >= CAPB))
+            prob = jnp.where(overflow,
+                             prob | C.PROBLEM_TOO_MANY_INFECTEES, prob)
+            return bd, fill, prob
+        return branch
 
-    # amortized pruning: re-compact once the table doubles past the
-    # last pruned size (dead fraction stays < ~50%, scans stay sized to
-    # the live edge count), or when an append would overflow; the
-    # doubling rule's minimum scales down for small test tables
-    edge_floor = carry.edge_floor
-    prune_min = min(1 << 15, max(E // 4, 1))
-    need_prune = ((edge_n + n_app > E)
-                  | (edge_n > jnp.maximum(2 * edge_floor,
-                                          jnp.int32(prune_min))))
-    edge_src, edge_dst, edge_n, edge_floor = jax.lax.cond(
-        need_prune, prune_edges, lambda a: a,
-        (edge_src, edge_dst, edge_n, edge_floor))
-    problem = jnp.where(edge_n + n_app > E,
-                        problem | C.PROBLEM_TRACING_BUFFER_OVERFLOW, problem)
-    e_pos = jnp.where(e_valid, edge_n + e_rank - 1, E)
+    slot_tier_ends = [lo + seg for lo, seg in tier_bounds(Kh, Kcap)]
+    t_idx = jnp.searchsorted(jnp.asarray(slot_tier_ends, I32),
+                             jnp.minimum(n_new, Kcap), side="left")
+    bd_flat, bkt_fill, problem = jax.lax.cond(
+        n_app > 0,
+        lambda a: jax.lax.switch(
+            t_idx, [append_branch(e) for e in slot_tier_ends], a),
+        lambda a: a, (bd_flat, bkt_fill, problem))
 
     # Slot-domain scatters in two tiers: the first ``Kh`` slots always,
     # the tails only when today's infection count exceeds the head
@@ -1257,8 +1310,6 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     scatter_jobs = [
         (state.infector, buf_agent, infector_new, False),
         (state.n_infected, src_scatter, jnp.ones_like(infector_new), True),
-        (edge_src, e_pos, jnp.where(e_valid, infector_new, N), False),
-        (edge_dst, e_pos, buf_agent, False),
         (sev, buf_agent, sev_slot.astype(I32), False),
         (state.death_outside, buf_agent, outside_slot, False),
         (days_left, buf_agent, incub_slot, False),
@@ -1286,9 +1337,8 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         # ~hi_t slots were live; the extra conds are ~free when skipped
         scat = jax.lax.cond(n_new > lo_t, _tails, lambda a: a, scat)
         lo_t = hi_t
-    (infector, n_infected, edge_src, edge_dst, sev_out, death_outside,
+    (infector, n_infected, sev_out, death_outside,
      days_left, o2r) = scat
-    edge_n = jnp.minimum(edge_n + n_app, E)
 
     new_st = jnp.where(newly, C.INCUBATION, new_st)
     is_infected = is_infected | newly
@@ -1301,19 +1351,29 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     day_of_illness = jnp.where(newly, 0, day_of_illness)
 
     # ---- phase 7: outputs ----------------------------------------------
-    # the 13 GROUP_ROW masks are computed INSIDE the blockwise one-hot
-    # kernel from 9 raw field streams (_output_masks) instead of being
-    # materialized as 13 (N,) bools in HBM — the mask fusions cost
-    # ~1 ms/day of write+read traffic in the device trace
+    # 10 GROUP_ROW masks are computed INSIDE the blockwise one-hot
+    # kernel from 9 raw field streams (_output_masks_reduced) instead of
+    # being materialized as (N,) bools in HBM; susceptible / infected /
+    # all_detected are exact per-group derivations (see the mask fn)
     fields = [active, is_infected, has_immunity, dov, detected_today,
               new_st, ever_icu, death_outside, newly]
     # force="xla": measured faster than the Pallas kernel in situ — see
     # the K_age call above
-    by_group = fused_fn_onehot_sum(
-        fields, _output_masks, len(GROUP_ROW), arrays.group_of_agent,
+    by10 = fused_fn_onehot_sum(
+        fields, _output_masks_reduced, 10, arrays.group_of_agent,
         cfg.nr_groups + 1, force="xla")[:, :-1].astype(I32)
-    all_detected = carry.all_detected + by_group[5]
-    by_group = by_group.at[5].set(all_detected)
+    (vacc_g, ever_g, det_g, inicu_g, cicu_g, ward_g, dead_g, rec_g,
+     nh_g, new_g) = by10
+    all_detected = carry.all_detected + det_g
+    # assemble the 13 GROUP_ROW rows (tiny (G,) ops)
+    by_group = jnp.stack([
+        arrays.active_per_group - ever_g,        # susceptible
+        vacc_g,
+        ever_g - dead_g - rec_g,                 # infected
+        ever_g,                                  # all_infected
+        det_g,
+        all_detected,
+        inicu_g, cicu_g, ward_g, dead_g, rec_g, nh_g, new_g])
 
     exposures = _exposures_by_place(k_place, K_g, q_hat)
     inf_by_variant = jnp.stack(
@@ -1361,8 +1421,7 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         weekly_leftover=leftover,
         all_detected=all_detected,
         problem=problem,
-        edge_src=edge_src, edge_dst=edge_dst, edge_n=edge_n,
-        edge_floor=edge_floor,
+        bkt_dst=bd_flat, bkt_fill=bkt_fill,
         mob=sched.mobility, nc_ag=nc_ag,
     )
     return new_state, new_carry, out

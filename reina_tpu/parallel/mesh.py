@@ -84,6 +84,11 @@ def _agent_placement(mesh: Mesh, n: int):
     def placement(x):
         if hasattr(x, "shape") and np.ndim(x) >= 1 and x.shape[0] == n:
             spec = P("agent", *([None] * (np.ndim(x) - 1)))
+        elif (hasattr(x, "shape") and np.ndim(x) == 1
+              and x.shape[0] > n and x.shape[0] % n == 0):
+            # the flat (N·CAPB,) infectee-bucket table: contiguous
+            # agent-axis split keeps whole per-source rows on one shard
+            spec = P("agent")
         elif (hasattr(x, "shape") and np.ndim(x) >= 2
               and x.shape[1] == n):
             # (V, N) per-agent tables (lam_log1p_ag): shard the agent

@@ -105,14 +105,18 @@ def test_exposures_match_places(tiny_result):
         np.abs(total - expect).max(), slack.max())
 
 
-def test_edge_table_pruning_and_overflow():
-    """The infectee edge table prunes dead-source edges under pressure
-    (amortized doubling rule) and the epidemic still traces correctly
-    with a tiny table; a table too small for live edges fails loudly."""
+def test_infectee_buckets_and_overflow():
+    """Per-source infectee buckets (the reference's fixed-capacity
+    infectees arrays, main.pyx:128,209-233): contents and fill counts
+    match an independent host-side reconstruction from per-agent state
+    (the checkpoint-resume rebuild path), and a bucket too small for a
+    source's infectees fails loudly with the reference's
+    TOO_MANY_INFECTEES problem (main.pyx:219-220)."""
     import numpy as np
     import pytest
 
     from reina_tpu.core import constants as C
+    from reina_tpu.core.checkpoint import rebuild_buckets
     from reina_tpu.core.engine import run_days
     from reina_tpu.testing import build_synthetic_run
 
@@ -120,26 +124,27 @@ def test_edge_table_pruning_and_overflow():
         ["test-with-contact-tracing", "2020-02-18", 80],
         ["import-infections", "2020-02-20", 60],
     ]
-    # tight table: the doubling rule's scaled minimum (edge_buffer/4)
-    # forces prunes once cumulative appends pass it; edge_floor > 0
-    # proves a prune executed, and the run stays clean
     run = build_synthetic_run(
         n_agents=8000, days=16, seed=11, interventions=ivs,
-        pad_multiple=256, cfg_overrides={"edge_buffer": 256,
-                                         "edge_head": 64})
-    out, _state, carry, _ = run_days(run, chunk_days=8)
+        pad_multiple=256, cfg_overrides={"max_infectees": 16})
+    out, state, carry, _ = run_days(run, chunk_days=8)
     assert int(carry.problem) == 0
-    assert int(carry.edge_floor) > 0      # at least one prune executed
-    assert int(carry.edge_n) <= 256
     bg = out.by_group.sum(axis=2)
     assert bg[-1, 5] > 0  # detections happened under CT
+    # the engine's incremental appends equal the pure-function rebuild
+    bkt, fill = rebuild_buckets(state, 16)
+    np.testing.assert_array_equal(np.asarray(carry.bkt_fill), fill)
+    np.testing.assert_array_equal(
+        np.asarray(carry.bkt_dst).reshape(bkt.shape), bkt)
+    assert fill.max() >= 2       # multi-infectee sources exist
+    assert fill.sum() > 0
 
-    # pathologically small table: overflow must fail loudly
+    # pathologically small per-source capacity: overflow must fail
+    # loudly, like the reference's MAX_INFECTEES guard
     run2 = build_synthetic_run(
         n_agents=8000, days=16, seed=11, interventions=ivs,
-        pad_multiple=256, cfg_overrides={"edge_buffer": 8,
-                                         "edge_head": 8})
-    with pytest.raises(C.SimulationFailed, match="tracing buffer"):
+        pad_multiple=256, cfg_overrides={"max_infectees": 1})
+    with pytest.raises(C.SimulationFailed, match="infectees"):
         run_days(run2, chunk_days=8)
 
 

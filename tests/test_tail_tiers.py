@@ -15,9 +15,25 @@ keys), so tiny-head vs default-head runs are compared in distribution
 across seeds, not bit-for-bit.
 """
 import numpy as np
+import pytest
+
+from _isolation import ISOLATED, run_isolated
 
 from reina_tpu.core.engine import run_days
 from reina_tpu.testing import build_synthetic_run
+
+needs_fresh_process = pytest.mark.skipif(
+    not ISOLATED,
+    reason="compile-fragile: three fresh whole-engine compiles — the "
+           "cumulative XLA:CPU defect (tests/_isolation.py) segfaulted "
+           "at this module's first cache write on a cold cache")
+
+
+def test_tail_tiers_isolated():
+    """Run the guarded tests below in a fresh interpreter."""
+    if ISOLATED:
+        pytest.skip("already inside the isolated child")
+    run_isolated("tests/test_tail_tiers.py")
 
 IVS = [
     ["import-infections", "2020-02-18", 120],

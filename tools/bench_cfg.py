@@ -1,7 +1,7 @@
 """Timed headline run under EngineConfig overrides — A/B harness for
-tier-sizing experiments (edge_head, infection_head, ...).
+tier-sizing experiments (infection_head, max_infectees, ...).
 
-Usage:  python tools/bench_cfg.py '{"edge_head": 32768}'
+Usage:  python tools/bench_cfg.py '{"infection_head": 2048}'
 
 Same shapes/chunking as bench.py so numbers are comparable; compare
 only within one tunnel session (session speed varies ~20%,

@@ -193,6 +193,10 @@ def build_run(variables: Dict[str, Any],
         # -1 mobility can't match any schedule row -> day 0 recomputes
         mob=jnp.full(arrays.contact_base.shape[:2], -1.0, jnp.float32),
         nc_ag=jnp.zeros(n_padded, jnp.float32),
+        # no pending bucket appends before day 0 (unique sentinels)
+        app_pos=(n_padded * cfg.max_infectees
+                 + jnp.arange(cfg.infection_buffer, dtype=jnp.int32)),
+        app_val=jnp.full(cfg.infection_buffer, n_padded, jnp.int32),
     )
 
     return CompiledRun(
@@ -282,20 +286,47 @@ def run_days(run: CompiledRun, n_days: Optional[int] = None,
     cross-shard collectives (dart reductions, capacity ledgers,
     new-infection exchange) from the input shardings.
     """
-    from . import checkpoint as ckpt
-
     n_days = n_days if n_days is not None else run.days
     base_key = jr.PRNGKey(run.random_seed if seed is None else seed)
     arrays, schedules = run.arrays, run.schedules
     state, carry = run.init_state, run.init_carry
     cfg = run.cfg
+    _shard_cm = None
     if mesh is not None:
+        import os
         from dataclasses import replace
         from ..parallel.mesh import shard_run
         arrays, schedules, state, carry = shard_run(run, mesh)
-        # GSPMD can't partition a pallas_call — keep the bit-identical
-        # XLA fallbacks so the agent axis actually shards
-        cfg = replace(cfg, pallas=False)
+        n_agent_shards = int(mesh.shape.get("agent", 1))
+        if os.environ.get("REINA_MESH_SHARD_PALLAS", "1") == "1":
+            # keep the single-launch Pallas kernels on the mesh path:
+            # each fused op becomes a shard_map island over the agent
+            # axis (GSPMD can't partition a pallas_call, but a manual
+            # island runs the kernel per shard and stitches shards with
+            # exact collectives — ops/fusedmap.py). shard_agents keys
+            # the jit cache; the context is consulted at trace time.
+            from ..ops.fusedmap import shard_pallas
+            cfg = replace(cfg, shard_agents=n_agent_shards)
+            _shard_cm = shard_pallas(mesh)
+            _shard_cm.__enter__()
+        else:
+            # operational escape hatch: the bit-identical XLA fallbacks
+            # under plain GSPMD partitioning
+            cfg = replace(cfg, pallas=False)
+    try:
+        return _run_days_body(run, cfg, arrays, schedules, state, carry,
+                              base_key, n_days, chunk_days, day_callback,
+                              checkpoint_dir, checkpoint_every, resume,
+                              mesh)
+    finally:
+        if _shard_cm is not None:
+            _shard_cm.__exit__(None, None, None)
+
+
+def _run_days_body(run, cfg, arrays, schedules, state, carry, base_key,
+                   n_days, chunk_days, day_callback, checkpoint_dir,
+                   checkpoint_every, resume, mesh):
+    from . import checkpoint as ckpt
 
     # day-0 row precedes intervention application (the reference emits
     # generate_state BEFORE iterate applies start_date-dated events,

@@ -81,6 +81,21 @@ class DayCarry(NamedTuple):
     #                              expansion; a pure function of mobility,
     #                              recomputed only when an intervention
     #                              changes it (~0.33 ms/day otherwise)
+    app_pos: np.ndarray          # (Kcap,) int32 — PENDING bucket-table
+    #                              append positions from the previous
+    #                              day, applied at the TOP of the next
+    #                              step (before tracing reads) so the
+    #                              scatter is the carried table's first
+    #                              and only pre-write use and XLA can
+    #                              update it in place — the old
+    #                              read-then-write order forced a
+    #                              432 MB copy every day (deviation-free:
+    #                              tracing only ever saw previous days'
+    #                              appends). Sentinels NC + slot.
+    app_val: np.ndarray          # (Kcap,) int32 — pending append values
+    #                              (idempotent .set payload — re-applying
+    #                              after a checkpoint bucket rebuild is
+    #                              harmless)
 
 
 def blank_state(pop: PopulationArrays) -> AgentState:

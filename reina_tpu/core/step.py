@@ -75,11 +75,16 @@ class EngineConfig:
     nr_variants: int = 2
     nr_groups: int = 10               # output age groups (by_group rows)
     stats_matmul: bool = True         # age-group stats on the MXU
-    pallas: bool = True               # allow single-launch Pallas kernels;
-    #                                   mesh-sharded runs force the XLA
-    #                                   fallback (GSPMD can't partition a
-    #                                   pallas_call — it would replicate
-    #                                   the full agent axis per chip)
+    pallas: bool = True               # allow single-launch Pallas kernels
+    shard_agents: int = 0             # >0: the run is mesh-sharded over
+    #                                   an 'agent' axis of this many
+    #                                   shards and the fused kernels run
+    #                                   as shard_map islands (ops/
+    #                                   fusedmap.shard_pallas); keys the
+    #                                   jit cache — the mesh itself rides
+    #                                   the trace-time context. 0 with
+    #                                   pallas=False is the plain-GSPMD
+    #                                   fallback (REINA_MESH_SHARD_PALLAS=0)
 
 
 class ModelArrays(NamedTuple):
@@ -719,7 +724,17 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     # view would be tiled T(8,128) with the 64-wide rows lane-padded to
     # 128 (2× HBM) and every flat<->2-D reshape a ~2 ms relayout copy
     # (day-200 trace: reshape.1606/.16361 + layout-flip copy pairs)
-    bd_flat = carry.bkt_dst
+    #
+    # apply YESTERDAY's pending appends first: the scatter is then the
+    # carried table's first (and only pre-write) use, so XLA updates it
+    # in place. Scattering at phase 6 — after the tracing cond's
+    # gathers — forced a full 432 MB copy every day (the scheduler
+    # cannot prove the write-after-read safe through the conditional;
+    # measured ~1.15 ms/day, day-200 trace 2026-08-20). Tracing
+    # semantics are identical either way: phase-3 reads only ever saw
+    # appends from previous days.
+    bd_flat = carry.bkt_dst.at[carry.app_pos].set(
+        carry.app_val, mode="drop", unique_indices=True)
     bucket_tiers = tier_bounds(min(cfg.bucket_head, CAPB), CAPB)
     member_tiers = tier_bounds(min(cfg.infection_head, Tcap), Tcap)
 
@@ -1119,7 +1134,8 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     # association changes vs jnp.cumsum — an equally-valid sample path,
     # same non-monotone-dip magnitude (docs/parity.md deviation 12)
     c_s = jnp.where(exposer, k_s.astype(F32) * inf_base, 0.0)
-    cum_newly = fused_concat_prefix(newly.astype(F32), None, 1, force=fm)
+    cum_newly = fused_concat_prefix(newly.astype(F32), None, 1, force=fm,
+                                    exact_int=True)
     # per-variant source weights as ONE concatenated (V*N,) cumulative
     # pass: variant v's segment lives at [v*N, (v+1)*N), so attribution
     # bisects ALL slots in one bracketed search instead of one bisect
@@ -1257,14 +1273,23 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     # the head. Per-source overflow (rank past CAPB) drops the edge
     # and raises the reference's TOO_MANY_INFECTEES problem
     # (main.pyx:219-220).
+    #
+    # CRITICAL layout rule: the (N·CAPB,) bucket table must NEVER be a
+    # cond/switch output — an XLA conditional materializes each
+    # table-sized result (and defeats scan-carry aliasing), measured
+    # 4.2 ms/day of conditionals + 2.6 ms/day of 432 MB copies at HUS
+    # scale (day-200 trace, 2026-08-20). The branches therefore return
+    # only slot-sized (pos, val, src) streams, padded with drop
+    # sentinels, and the table is touched exclusively by in-place
+    # tiered scatters below (joining the slot-domain scatter tiers).
     e_valid = slot_used & (infector_new >= 0) & tr_slot
     n_app = jnp.sum(e_valid, dtype=I32)
     SENT = jnp.int32(1 << 30)
     sort_src = jnp.where(e_valid, infector_new, SENT)
+    NC = N * CAPB
 
     def append_branch(end):
-        def branch(args):
-            bd, fill, prob = args
+        def branch(_):
             src_k = jax.lax.slice_in_dim(sort_src, 0, end)
             dst_k = jax.lax.slice_in_dim(buf_agent, 0, end)
             src_s, dst_s = jax.lax.sort([src_k, dst_k], num_keys=1)
@@ -1275,27 +1300,38 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
             rank = idx - run_start
             valid = src_s < SENT
             sp = jnp.clip(src_s, 0, N - 1)
-            j = fill[sp] + rank
+            j = bkt_fill[sp] + rank
             store = valid & (j < CAPB)
+            # dropped entries get UNIQUE ascending sentinels (NC + slot)
+            # instead of one shared NC: XLA's scatter lowering can then
+            # take the unique_indices path (no dedup machinery)
             pos = jnp.where(store, sp * CAPB + jnp.minimum(j, CAPB - 1),
-                            N * CAPB)
-            bd = bd.at[pos].set(jnp.where(store, dst_s, N), mode="drop")
-            fill = fill.at[jnp.where(valid, sp, N)].add(
-                jnp.where(valid, 1, 0), mode="drop")
+                            NC + idx)
+            val = jnp.where(store, dst_s, N)
+            srcp = jnp.where(valid, sp, N)
             overflow = jnp.any(valid & (j >= CAPB))
-            prob = jnp.where(overflow,
-                             prob | C.PROBLEM_TOO_MANY_INFECTEES, prob)
-            return bd, fill, prob
+
+            def pad(x, fillv):
+                return jnp.concatenate(
+                    [x, jnp.full(Kcap - end, fillv, x.dtype)]) \
+                    if end < Kcap else x
+            pos = (jnp.concatenate([pos, NC + jnp.arange(end, Kcap, dtype=I32)])
+                   if end < Kcap else pos)
+            return pos, pad(val, N), pad(srcp, N), overflow
         return branch
 
     slot_tier_ends = [lo + seg for lo, seg in tier_bounds(Kh, Kcap)]
     t_idx = jnp.searchsorted(jnp.asarray(slot_tier_ends, I32),
                              jnp.minimum(n_new, Kcap), side="left")
-    bd_flat, bkt_fill, problem = jax.lax.cond(
+    app_pos, app_val, app_src, app_ovf = jax.lax.cond(
         n_app > 0,
-        lambda a: jax.lax.switch(
-            t_idx, [append_branch(e) for e in slot_tier_ends], a),
-        lambda a: a, (bd_flat, bkt_fill, problem))
+        lambda _: jax.lax.switch(
+            t_idx, [append_branch(e) for e in slot_tier_ends], 0),
+        lambda _: (NC + jnp.arange(Kcap, dtype=I32),
+                   jnp.full(Kcap, N, I32),
+                   jnp.full(Kcap, N, I32), jnp.bool_(False)), 0)
+    problem = jnp.where(app_ovf,
+                        problem | C.PROBLEM_TOO_MANY_INFECTEES, problem)
 
     # Slot-domain scatters in two tiers: the first ``Kh`` slots always,
     # the tails only when today's infection count exceeds the head
@@ -1339,6 +1375,14 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         lo_t = hi_t
     (infector, n_infected, sev_out, death_outside,
      days_left, o2r) = scat
+
+    # bucket bookkeeping: the fill scatter lands today (readers of fill
+    # and table only coincide AFTER next step's phase-0 apply, so fill
+    # may lead the table by a day); the TABLE scatter is deferred into
+    # the carry and applied at the top of the next step — see the
+    # phase-0 comment. Unconditional full streams, never cond outputs.
+    bkt_fill = bkt_fill.at[app_src].add(
+        jnp.ones_like(app_src), mode="drop")
 
     new_st = jnp.where(newly, C.INCUBATION, new_st)
     is_infected = is_infected | newly
@@ -1423,6 +1467,7 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         problem=problem,
         bkt_dst=bd_flat, bkt_fill=bkt_fill,
         mob=sched.mobility, nc_ag=nc_ag,
+        app_pos=app_pos, app_val=app_val,
     )
     return new_state, new_carry, out
 

@@ -32,7 +32,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .fusedmap import LANE, _hs_prefix_block, _is_tpu, _largest_block
+from .fusedmap import (LANE, _hs_prefix_block, _is_tpu, _largest_block,
+                       shard_active, shard_ctx)
 
 _NEG = -(1 << 30)  # python int: a module-scope jnp scalar would force
 #                   jax backend init at import (hangs when the TPU
@@ -74,6 +75,102 @@ def _shift1(x, fill):
     return jnp.concatenate([prev[:, :1], x[:, :lanes - 1]], axis=1)
 
 
+def _ledger_kernel(releases, requests, offset, base, interpret=False,
+                   emit_carry=False):
+    """The streaming-scan launch behind :func:`_grants_streaming`:
+    per-ledger U/rm streams for (n, L) release/request columns, plus —
+    with ``emit_carry`` — the kernel's final (L, 3) SMEM carries
+    (running sum of a, running max of key_a, running max of key) so a
+    mesh shard can hand its successor the exact sequential state
+    (scalar stores must target SMEM, not a VMEM block). ``base`` is the
+    global position of this slab's first element (0 unsharded;
+    shard_index·n_local on a mesh) — the cyclic-sweep mask ``in_a`` is
+    a function of GLOBAL position."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, L = releases.shape
+    # force="pallas" on an ineligible size would give blk ∤ R: G = R//blk
+    # truncates and the tail rows are never written by any grid step —
+    # fail loudly instead of returning uninitialized grants
+    assert n % (8 * LANE) == 0, (
+        f"_ledger_kernel needs n % {8 * LANE} == 0, got n={n}")
+    R = n // LANE
+    blk = _largest_block(R, 512, 8)
+    G = R // blk
+
+    def kernel(*refs):
+        off_ref = refs[0]
+        rel_refs = refs[1:1 + L]
+        req_refs = refs[1 + L:1 + 2 * L]
+        u_refs = refs[1 + 2 * L:1 + 3 * L]
+        rm_refs = refs[1 + 3 * L:1 + 4 * L]
+        carr_ref = refs[1 + 4 * L] if emit_carry else None
+        acc_ref = refs[-1]                      # SMEM (L, 3) carries
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _init():
+            for led in range(L):
+                acc_ref[led, 0] = 0             # running sum of a
+                acc_ref[led, 1] = _NEG          # running max of key_a
+                acc_ref[led, 2] = _NEG          # running max of key
+
+        pos = (off_ref[0, 1] + g * blk * LANE
+               + lax.broadcasted_iota(jnp.int32, (blk, LANE), 0) * LANE
+               + lax.broadcasted_iota(jnp.int32, (blk, LANE), 1))
+        in_a = pos >= off_ref[0, 0]
+
+        for led in range(L):
+            rel = rel_refs[led][...].astype(jnp.int32)
+            req = req_refs[led][...].astype(jnp.int32)
+            a = rel - req
+            s0 = acc_ref[led, 0]
+            s_incl = _hs_prefix_block(a) + s0
+            s_excl = s_incl - a
+            key = jnp.where(req == 1, 0, _NEG) - s_incl
+            key_a = jnp.where(in_a, key, _NEG)
+            rma_x = jnp.maximum(_shift1(_hs_max_block(key_a), _NEG),
+                                acc_ref[led, 1])
+            rmf_x = jnp.maximum(_shift1(_hs_max_block(key), _NEG),
+                                acc_ref[led, 2])
+            u_refs[led][...] = s_excl + rel
+            rm_refs[led][...] = jnp.where(in_a, rma_x, rmf_x)
+            acc_ref[led, 0] = s0 + jnp.sum(a)
+            acc_ref[led, 1] = jnp.maximum(acc_ref[led, 1], jnp.max(key_a))
+            acc_ref[led, 2] = jnp.maximum(acc_ref[led, 2], jnp.max(key))
+
+        if emit_carry:
+            @pl.when(g == G - 1)
+            def _emit():
+                for led in range(L):
+                    for j in range(3):
+                        carr_ref[led, j] = acc_ref[led, j]
+
+    bs = pl.BlockSpec((blk, LANE), lambda g: (g, 0))
+    off2 = jnp.stack([jnp.asarray(offset, jnp.int32),
+                      jnp.asarray(base, jnp.int32)]).reshape(1, 2)
+    carry_out = ([jax.ShapeDtypeStruct((L, 3), jnp.int32)]
+                 if emit_carry else [])
+    carry_spec = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                  if emit_carry else [])
+    outs = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        out_shape=[jax.ShapeDtypeStruct((R, LANE), jnp.int32)
+                   for _ in range(2 * L)] + carry_out,
+        in_specs=[pl.BlockSpec((1, 2), lambda g: (0, 0))]
+        + [bs] * (2 * L),
+        out_specs=[bs] * (2 * L) + carry_spec,
+        scratch_shapes=[pltpu.SMEM((L, 3), jnp.int32)],
+        interpret=interpret,
+    )(off2, *(releases[:, led].reshape(R, LANE) for led in range(L)),
+      *(requests[:, led].reshape(R, LANE) for led in range(L)))
+    U = jnp.stack([o.reshape(n) for o in outs[:L]], axis=1)
+    rm = jnp.stack([o.reshape(n) for o in outs[L:2 * L]], axis=1)
+    return U, rm, (outs[2 * L] if emit_carry else None)
+
+
 def _grants_streaming(releases, requests, init, offset, interpret=False):
     """Single-pass streaming formulation of the ledger scans: ONE Pallas
     kernel reads each release/request byte once and emits, per ledger,
@@ -106,76 +203,16 @@ def _grants_streaming(releases, requests, init, offset, interpret=False):
 
     All-integer arithmetic — bit-identical to the reduce-window path by
     exactness, verified by tests/test_clamped.py against both."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+    U, rm, _carr = _ledger_kernel(releases, requests, offset,
+                                  jnp.int32(0), interpret)
+    return _grants_from_streams(U, rm, releases, requests, init, offset)
 
+
+def _grants_from_streams(U, rm, releases, requests, init, offset):
+    """The closed-form consumption of the kernel's U/rm streams: every
+    boundary scalar comes back out with single-element gathers, then the
+    grant decision is one elementwise pass (see _grants_streaming)."""
     n, L = releases.shape
-    # force="pallas" on an ineligible size would give blk ∤ R: G = R//blk
-    # truncates and the tail rows are never written by any grid step —
-    # fail loudly instead of returning uninitialized grants
-    assert n % (8 * LANE) == 0, (
-        f"_grants_streaming needs n % {8 * LANE} == 0, got n={n}")
-    R = n // LANE
-    blk = _largest_block(R, 512, 8)
-    G = R // blk
-
-    def kernel(*refs):
-        off_ref = refs[0]
-        rel_refs = refs[1:1 + L]
-        req_refs = refs[1 + L:1 + 2 * L]
-        u_refs = refs[1 + 2 * L:1 + 3 * L]
-        rm_refs = refs[1 + 3 * L:1 + 4 * L]
-        acc_ref = refs[-1]                      # SMEM (L, 3) carries
-        g = pl.program_id(0)
-
-        @pl.when(g == 0)
-        def _init():
-            for led in range(L):
-                acc_ref[led, 0] = 0             # running sum of a
-                acc_ref[led, 1] = _NEG          # running max of key_a
-                acc_ref[led, 2] = _NEG          # running max of key
-
-        pos = (g * blk * LANE
-               + lax.broadcasted_iota(jnp.int32, (blk, LANE), 0) * LANE
-               + lax.broadcasted_iota(jnp.int32, (blk, LANE), 1))
-        in_a = pos >= off_ref[0, 0]
-
-        for led in range(L):
-            rel = rel_refs[led][...].astype(jnp.int32)
-            req = req_refs[led][...].astype(jnp.int32)
-            a = rel - req
-            s0 = acc_ref[led, 0]
-            s_incl = _hs_prefix_block(a) + s0
-            s_excl = s_incl - a
-            key = jnp.where(req == 1, 0, _NEG) - s_incl
-            key_a = jnp.where(in_a, key, _NEG)
-            rma_x = jnp.maximum(_shift1(_hs_max_block(key_a), _NEG),
-                                acc_ref[led, 1])
-            rmf_x = jnp.maximum(_shift1(_hs_max_block(key), _NEG),
-                                acc_ref[led, 2])
-            u_refs[led][...] = s_excl + rel
-            rm_refs[led][...] = jnp.where(in_a, rma_x, rmf_x)
-            acc_ref[led, 0] = s0 + jnp.sum(a)
-            acc_ref[led, 1] = jnp.maximum(acc_ref[led, 1], jnp.max(key_a))
-            acc_ref[led, 2] = jnp.maximum(acc_ref[led, 2], jnp.max(key))
-
-    bs = pl.BlockSpec((blk, LANE), lambda g: (g, 0))
-    off2 = jnp.asarray(offset, jnp.int32).reshape(1, 1)
-    outs = pl.pallas_call(
-        kernel,
-        grid=(G,),
-        out_shape=[jax.ShapeDtypeStruct((R, LANE), jnp.int32)
-                   for _ in range(2 * L)],
-        in_specs=[pl.BlockSpec((1, 1), lambda g: (0, 0))]
-        + [bs] * (2 * L),
-        out_specs=[bs] * (2 * L),
-        scratch_shapes=[pltpu.SMEM((L, 3), jnp.int32)],
-        interpret=interpret,
-    )(off2, *(releases[:, led].reshape(R, LANE) for led in range(L)),
-      *(requests[:, led].reshape(R, LANE) for led in range(L)))
-    U = jnp.stack([o.reshape(n) for o in outs[:L]], axis=1)
-    rm = jnp.stack([o.reshape(n) for o in outs[L:]], axis=1)
-
     relv = releases.astype(jnp.int32)
     reqv = requests.astype(jnp.int32)
     key_at = lambda i: jnp.where(reqv[i] == 1, 0, _NEG) - (U[i] - reqv[i])
@@ -196,6 +233,53 @@ def _grants_streaming(releases, requests, init, offset, interpret=False):
                                jnp.maximum(final_a[None], rm))
     granted = requests & (arriving_p > 0)
     return granted, final_b
+
+
+def _grants_sharded(releases, requests, init, offset, ctx):
+    """Mesh-sharded twin of :func:`_grants_streaming`: every shard runs
+    the streaming kernel on its agent slab (global cyclic-sweep mask via
+    its base position), then the per-shard SMEM carries — running sum
+    and the two running key maxes, all exact int32 — are all-gathered
+    and folded so each shard applies its predecessors' exact sequential
+    state: U += excl-sum, rm = max(rm − excl-sum, carry-max). The
+    (granted, final) pair is bit-identical to the unsharded kernel (max
+    commutes with the constant shift; the only discrepancy is the _NEG
+    saturation floor's exact value, which every consumer maxes against a
+    real balance that dwarfs it — see the kernel docstring)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    mesh, ax, interp = ctx
+    n, L = releases.shape
+    nloc = n // mesh.shape[ax]
+    k = mesh.shape[ax]
+
+    def _local(rel, req, off):
+        i = jax.lax.axis_index(ax).astype(jnp.int32)
+        base = i * nloc
+        U_loc, rm_loc, carr = _ledger_kernel(rel, req, off, base, interp,
+                                             emit_carry=True)
+        allc = jax.lax.all_gather(carr, ax)             # (k, L, 3)
+        sums = allc[:, :, 0]
+        s_excl = jnp.cumsum(sums, axis=0) - sums        # (k, L)
+        s0 = s_excl[i]                                  # (L,)
+        adj_a = allc[:, :, 1] - s_excl   # per-shard maxes, global-keyed
+        adj_f = allc[:, :, 2] - s_excl
+        before = jnp.arange(k)[:, None] < i
+        m_a0 = jnp.max(jnp.where(before, adj_a, _NEG), axis=0)
+        m_f0 = jnp.max(jnp.where(before, adj_f, _NEG), axis=0)
+        U = U_loc + s0[None, :]
+        pos = base + jnp.arange(nloc, dtype=jnp.int32)
+        carry_m = jnp.where((pos >= off)[:, None],
+                            m_a0[None, :], m_f0[None, :])
+        rm = jnp.maximum(rm_loc - s0[None, :], carry_m)
+        return U, rm
+
+    U, rm = jax.shard_map(
+        _local, mesh=mesh, in_specs=(P(ax), P(ax), P()),
+        out_specs=(P(ax), P(ax)), check_vma=False)(
+        releases, requests, jnp.asarray(offset, jnp.int32))
+    return _grants_from_streams(U, rm, releases, requests, init, offset)
 
 
 def clamped_counter_grants(releases, requests, init, offset,
@@ -240,6 +324,16 @@ def clamped_counter_grants(releases, requests, init, offset,
         init = init.reshape(init.shape or (1,)) if init.ndim == 0 \
             else init[..., None]
     L = releases.shape[1]
+
+    if force is None and shard_active():
+        ctx = shard_ctx(n, 8 * LANE)
+        if ctx is not None:
+            granted, final = _grants_sharded(releases, requests, init,
+                                             offset, ctx)
+            if squeeze:
+                return granted[:, 0], final[0]
+            return granted, final
+        force = "xla"   # sharded but island-ineligible: GSPMD fallback
 
     use_pallas = force in ("pallas", "interpret") or (
         force is None and _is_tpu() and n % (8 * LANE) == 0)

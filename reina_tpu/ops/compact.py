@@ -44,7 +44,7 @@ def compact_indices(mask, capacity: int, head: int = 1 << 9,
     # HUS scale in the device trace). Bisection over the same values is
     # identical whichever dtype carries them.
     cum = fused_concat_prefix(mask.astype(jnp.float32), None, 1,
-                              force=force)
+                              force=force, exact_int=True)
     count = cum[-1].astype(I32)
 
     def part(lo_slot: int, n_slots: int):

@@ -20,13 +20,69 @@ Design rules that keep it safe:
 """
 from __future__ import annotations
 
+import contextlib
 import os
 from typing import Any, Callable, Sequence
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 LANE = 128
+
+# ---------------------------------------------------------------------------
+# Agent-axis shard_map islands
+#
+# GSPMD cannot partition a pallas_call, so mesh-sharded runs used to force
+# every fused op onto its (2× slower) XLA fallback. Instead, when a shard
+# context is active each op wraps its OWN kernel in a `jax.shard_map` island
+# over the mesh's agent axis: every chip runs the single-launch kernel on its
+# local shard and the cross-shard values travel as explicit collectives —
+# psum for the (K, n_b) histogram partials, an all-gather of per-shard carry
+# scalars for the sequential scans. Bit-identity with the unsharded program
+# is preserved op-by-op: elementwise kernels shard trivially, the histogram
+# partials are exact-integer f32 sums (associative), and the scan carries are
+# exact integers combined in a deterministic fold. The one float-associative
+# op (fused_concat_prefix over real-valued weights) declines the island and
+# keeps the GSPMD-partitioned fallback (`exact_int` gates it).
+# ---------------------------------------------------------------------------
+
+_SHARD: tuple | None = None     # (mesh, axis_name, interpret) | None
+
+
+@contextlib.contextmanager
+def shard_pallas(mesh, axis: str = "agent"):
+    """Activate shard_map islands for fused kernels traced inside the
+    context. ``REINA_SHARD_INTERPRET=1`` runs the island kernels through
+    the Pallas interpreter (CPU CI for the island/collective logic)."""
+    global _SHARD
+    prev = _SHARD
+    interp = os.environ.get("REINA_SHARD_INTERPRET", "0") == "1"
+    _SHARD = (mesh, axis, interp)
+    try:
+        yield
+    finally:
+        _SHARD = prev
+
+
+def shard_active() -> bool:
+    """True while a shard_pallas context is open (ops must then choose
+    the island or the GSPMD-partitionable fallback — never bare Pallas)."""
+    return _SHARD is not None
+
+
+def shard_ctx(n: int, mult: int):
+    """The active shard context, if ``n`` splits into per-shard lengths
+    compatible with the kernels' ``mult`` alignment — else None."""
+    if _SHARD is None:
+        return None
+    mesh, ax, interp = _SHARD
+    k = mesh.shape[ax]
+    if n % (k * mult) != 0:
+        return None
+    if not (interp or _is_tpu()):
+        return None
+    return mesh, ax, interp
 
 
 def _is_tpu() -> bool:
@@ -69,6 +125,24 @@ def fused_map(fn: Callable, n_out: int, arrays: Sequence[jnp.ndarray],
     for a in arrays:
         assert a.shape == (N,), (a.shape, N)
     smalls2 = [_as_2d(s) for s in smalls]
+    n_arr = len(arrays)
+
+    if force is None and _SHARD is not None:
+        ctx = shard_ctx(N, 8 * LANE)
+        if ctx is not None:
+            mesh, ax, interp = ctx
+            frc = "interpret" if interp else "pallas"
+
+            def _local(*ins):
+                return fused_map(fn, n_out, ins[:n_arr], ins[n_arr:],
+                                 max_block_rows, force=frc)
+
+            return jax.shard_map(
+                _local, mesh=mesh,
+                in_specs=(P(ax),) * n_arr + (P(),) * len(smalls2),
+                out_specs=(P(ax),) * n_out, check_vma=False,
+            )(*arrays, *smalls2)
+        force = "xla"   # sharded but island-ineligible: GSPMD fallback
 
     interpret = force == "interpret"
     use_pallas = interpret or force == "pallas" or (
@@ -93,8 +167,6 @@ def fused_map(fn: Callable, n_out: int, arrays: Sequence[jnp.ndarray],
     if not isinstance(out_aval, tuple):
         out_aval = (out_aval,)
     assert len(out_aval) == n_out, (len(out_aval), n_out)
-
-    n_arr = len(arrays)
 
     def kernel(*refs):
         in_refs = refs[:n_arr]
@@ -178,6 +250,23 @@ def fused_onehot_sum(parts, code_b, n_b: int,
     N = parts[0].shape[0]
     code_b = code_b.astype(jnp.int32)
 
+    if force is None and _SHARD is not None:
+        ctx = shard_ctx(N, 1024)
+        if ctx is not None:
+            mesh, ax, interp = ctx
+            frc = "interpret" if interp else "pallas"
+
+            def _local(cb, *ps):
+                # per-shard partial counts are exact-integer f32, so the
+                # psum is associative-exact: bit-identical to unsharded
+                return jax.lax.psum(
+                    fused_onehot_sum(ps, cb, n_b, max_block, force=frc), ax)
+
+            return jax.shard_map(
+                _local, mesh=mesh, in_specs=(P(ax),) * (1 + K),
+                out_specs=P(), check_vma=False)(code_b, *parts)
+        force = "xla"
+
     def lhs_block(cols):
         # cast to f32 BEFORE inserting the minor dim: Mosaic only
         # supports non-no-op minor-dim reshapes for 32-bit types
@@ -238,6 +327,23 @@ def fused_fn_onehot_sum(fields, mask_fn, n_masks: int, code_b, n_b: int,
     """
     N = fields[0].shape[0]
     code_b = code_b.astype(jnp.int32)
+    n_f = len(fields)
+
+    if force is None and _SHARD is not None:
+        ctx = shard_ctx(N, 1024)
+        if ctx is not None:
+            mesh, ax, interp = ctx
+            frc = "interpret" if interp else "pallas"
+
+            def _local(cb, *fs):
+                return jax.lax.psum(
+                    fused_fn_onehot_sum(fs, mask_fn, n_masks, cb, n_b,
+                                        max_block, force=frc), ax)
+
+            return jax.shard_map(
+                _local, mesh=mesh, in_specs=(P(ax),) * (1 + n_f),
+                out_specs=P(), check_vma=False)(code_b, *fields)
+        force = "xla"
 
     def lhs_block(cols):
         # f32 cast before the minor-dim insert (see fused_onehot_sum)
@@ -315,7 +421,8 @@ def _hs_prefix_block(x):
 
 def fused_concat_prefix(weights, codes, n_seg: int,
                         max_block_rows: int = 2048,
-                        force: str | None = None):
+                        force: str | None = None,
+                        exact_int: bool = False):
     """Inclusive prefix sum over the virtual concatenation
     ``[where(codes == s, weights, 0) for s in range(n_seg)]`` — i.e.
     ``cumsum`` of an (n_seg*N,) array — WITHOUT materializing the
@@ -333,6 +440,14 @@ def fused_concat_prefix(weights, codes, n_seg: int,
 
     codes=None (with n_seg=1) skips the mask: a plain fused cumsum.
     Returns (n_seg*N,) in ``weights``' dtype (cast float32/int32 first).
+
+    ``exact_int`` declares every weight an exact integer (counts): the
+    prefix is then associative-exact, which lets a mesh-sharded run keep
+    the streaming kernel per shard and stitch shards with an all-gather
+    of per-(shard, segment) totals — bit-identical to the sequential
+    kernel. Real-float weights (cum_cat) must leave it False: their
+    association is fixed by the sequential carry chain, so sharded runs
+    keep the GSPMD-partitioned fallback.
     """
     N = weights.shape[0]
     dt = weights.dtype
@@ -340,6 +455,39 @@ def fused_concat_prefix(weights, codes, n_seg: int,
         assert n_seg == 1
     else:
         codes = codes.astype(jnp.int32)
+
+    if force is None and _SHARD is not None:
+        ctx = shard_ctx(N, 8 * LANE) if exact_int else None
+        if ctx is not None:
+            mesh, ax, interp = ctx
+            frc = "interpret" if interp else "pallas"
+            nloc = N // mesh.shape[ax]
+
+            def _local(w, *mc):
+                c = mc[0] if mc else None
+                loc = fused_concat_prefix(w, c, n_seg, max_block_rows,
+                                          force=frc).reshape(n_seg, nloc)
+                # the local kernel chains segments, so loc[s] includes
+                # this shard's segments < s — strip that local base and
+                # substitute the global one (all exact-integer adds)
+                incl = loc[:, -1]               # cum through local seg s
+                local_base = jnp.concatenate(
+                    [jnp.zeros(1, incl.dtype), incl[:-1]])
+                tots = incl - local_base        # per-segment local totals
+                allt = jax.lax.all_gather(tots, ax)          # (k, n_seg)
+                seg_tot = jnp.sum(allt, axis=0)
+                seg_base = jnp.cumsum(seg_tot) - seg_tot     # excl. segs
+                shard_excl = jnp.cumsum(allt, axis=0) - allt  # excl. shards
+                off = (seg_base + shard_excl[jax.lax.axis_index(ax)]
+                       - local_base)
+                return loc + off[:, None].astype(dt)
+
+            args = (weights,) + (() if codes is None else (codes,))
+            out = jax.shard_map(
+                _local, mesh=mesh, in_specs=(P(ax),) * len(args),
+                out_specs=P(None, ax), check_vma=False)(*args)
+            return out.reshape(n_seg * N)
+        force = "xla"
 
     def masked(w, c, s):
         return w if c is None else jnp.where(c == s, w, jnp.zeros((), dt))
@@ -423,6 +571,22 @@ def fused_bihistogram(code_a, n_a: int, weights, code_b, n_b: int,
     code_a = code_a.astype(jnp.int32)
     code_b = code_b.astype(jnp.int32)
     weights = weights.astype(jnp.float32)
+
+    if force is None and _SHARD is not None:
+        ctx = shard_ctx(N, 1024)
+        if ctx is not None:
+            mesh, ax, interp = ctx
+            frc = "interpret" if interp else "pallas"
+
+            def _local(ca, w, cb):
+                return jax.lax.psum(
+                    fused_bihistogram(ca, n_a, w, cb, n_b, max_block,
+                                      force=frc), ax)
+
+            return jax.shard_map(
+                _local, mesh=mesh, in_specs=(P(ax),) * 3,
+                out_specs=P(), check_vma=False)(code_a, weights, code_b)
+        force = "xla"
 
     def block_dot(ca, w, cb, dt=jnp.bfloat16):
         # the weight multiply folds INTO the one-hot select (one fewer

@@ -132,3 +132,32 @@ def test_two_ledger_batch_matches_sequential():
             np.testing.assert_array_equal(np.asarray(got_g)[:, led], want_g,
                                           err_msg=f"trial {trial} led {led}")
             assert int(np.asarray(got_b)[led]) == want_b, (trial, led)
+
+
+def test_sharded_grants_match_unsharded(monkeypatch):
+    """The mesh-sharded ledger path (per-shard streaming kernels + the
+    all-gathered exact-int carry fold, ops/clamped._grants_sharded)
+    returns (granted, final) bit-identical to the unsharded scan, for
+    offsets inside every shard and at the boundaries."""
+    import jax
+    from jax.sharding import Mesh
+
+    monkeypatch.setenv("REINA_SHARD_INTERPRET", "1")
+    from reina_tpu.ops.fusedmap import shard_pallas
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2),
+                ("seed", "agent"))
+    n = 8192
+    rng = np.random.default_rng(5)
+    rel = jnp.asarray(rng.integers(0, 2, (n, 2)).astype(np.int32))
+    req = jnp.asarray(rng.integers(0, 2, (n, 2)).astype(bool))
+    init = jnp.asarray(np.array([4, 1], np.int32))
+    for off_v in [0, 1, n // 4, n // 2 + 3, n - 1]:
+        off = jnp.int32(off_v)
+        g_ref, f_ref = clamped_counter_grants(rel, req, init, off)
+        with shard_pallas(mesh):
+            g_s, f_s = jax.jit(
+                lambda r, q, o: clamped_counter_grants(r, q, init, o))(
+                rel, req, off)
+        np.testing.assert_array_equal(np.asarray(g_ref), np.asarray(g_s))
+        np.testing.assert_array_equal(np.asarray(f_ref), np.asarray(f_s))

@@ -131,11 +131,18 @@ def test_infectee_buckets_and_overflow():
     assert int(carry.problem) == 0
     bg = out.by_group.sum(axis=2)
     assert bg[-1, 5] > 0  # detections happened under CT
-    # the engine's incremental appends equal the pure-function rebuild
+    # the engine's incremental appends equal the pure-function rebuild.
+    # The carried table is one day BEHIND by design (the final day's
+    # appends ride carry.app_pos/app_val and land at the next step's
+    # phase-0 apply — core/state.DayCarry); apply them host-side first.
     bkt, fill = rebuild_buckets(state, 16)
     np.testing.assert_array_equal(np.asarray(carry.bkt_fill), fill)
-    np.testing.assert_array_equal(
-        np.asarray(carry.bkt_dst).reshape(bkt.shape), bkt)
+    bd = np.asarray(carry.bkt_dst).copy()
+    pos = np.asarray(carry.app_pos)
+    val = np.asarray(carry.app_val)
+    ok = pos < bd.shape[0]
+    bd[pos[ok]] = val[ok]
+    np.testing.assert_array_equal(bd.reshape(bkt.shape), bkt)
     assert fill.max() >= 2       # multi-infectee sources exist
     assert fill.sum() > 0
 

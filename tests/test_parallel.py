@@ -90,6 +90,40 @@ def test_run_days_agent_sharded(tiny_run):
 
 
 @needs_fresh_process
+def test_shard_pallas_islands_bit_identical(monkeypatch):
+    """Mesh run with the shard_map KERNEL islands active (interpret-mode
+    Pallas on CPU) == unsharded run, bit-for-bit. Exercises the
+    per-shard kernels, the psum histogram stitches, the exact-int
+    prefix-scan offset fold and the ledger carry fold
+    (ops/fusedmap.shard_pallas, ops/clamped._grants_sharded) — the
+    program real multi-chip TPU runs execute."""
+    from reina_tpu.core.engine import run_days
+    from reina_tpu.parallel.mesh import make_mesh
+    from reina_tpu.testing import build_synthetic_run
+
+    # pad so N divides by n_agent·1024 (island eligibility)
+    run = build_synthetic_run(
+        n_agents=20000, days=12, seed=3,
+        interventions=[
+            ["test-all-with-symptoms", "2020-02-20"],
+            ["import-infections", "2020-02-20", 80],
+            ["test-with-contact-tracing", "2020-02-24", 60],
+            ["build-new-icu-units", "2020-02-22", 2],
+        ],
+        pad_multiple=4096)
+    assert run.init_state.age.shape[0] % (4 * 1024) == 0
+    out_plain, _, _, _ = run_days(run, n_days=12, chunk_days=6)
+    monkeypatch.setenv("REINA_SHARD_INTERPRET", "1")
+    mesh = make_mesh(n_seed=1, n_agent=4, devices=jax.devices()[:4])
+    out_island, _, _, _ = run_days(run, n_days=12, chunk_days=6,
+                                   mesh=mesh)
+    np.testing.assert_array_equal(out_island.by_group, out_plain.by_group)
+    np.testing.assert_array_equal(out_island.available_icu_units,
+                                  out_plain.available_icu_units)
+    np.testing.assert_array_equal(out_island.r, out_plain.r)
+
+
+@needs_fresh_process
 def test_mesh_checkpoint_resume(tiny_run, tmp_path):
     """Checkpoint a SHARDED run mid-flight, resume with mesh= set —
     bit-identical to the uninterrupted sharded run. Executes the

@@ -254,6 +254,46 @@ def run_chunk(cfg: EngineConfig, arrays: ModelArrays, schedules: Schedules,
     return state, carry, outs
 
 
+@engine_jit()
+def _pack_leaves(int_leaves, float_leaves):
+    """Concatenate pytree leaves into one i32 + one f32 flat buffer on
+    device. Sharded (mesh) outputs fetch at ~1 tunnel roundtrip PER
+    LEAF (~25-45 ms each, 11 leaves × 13 chunks ≈ 10 ms/day of wall at
+    HUS scale — mesh trace 2026-08-21); packing makes it 2 roundtrips
+    per chunk. Exact: every integer output is < 2^24 and i32/f32 carry
+    int16/int8/bool losslessly."""
+    i = (jnp.concatenate([l.reshape(-1).astype(jnp.int32)
+                          for l in int_leaves])
+         if int_leaves else jnp.zeros(0, jnp.int32))
+    f = (jnp.concatenate([l.reshape(-1).astype(jnp.float32)
+                          for l in float_leaves])
+         if float_leaves else jnp.zeros(0, jnp.float32))
+    return i, f
+
+
+def _fetch_chunk_packed(outs, problem):
+    """Fetch a chunk's DayOutputs (+ the problem scalar) from a mesh
+    run in two host roundtrips; returns (numpy pytree, problem int)."""
+    leaves, treedef = jax.tree_util.tree_flatten(outs)
+    is_int = [bool(np.issubdtype(np.dtype(l.dtype), np.integer))
+              or np.dtype(l.dtype) == np.bool_ for l in leaves]
+    ints = [l for l, b in zip(leaves, is_int) if b]
+    flts = [l for l, b in zip(leaves, is_int) if not b]
+    pi, pf = _pack_leaves(ints + [jnp.reshape(problem, (1,))], flts)
+    pi, pf = np.asarray(pi), np.asarray(pf)
+    out_leaves = [None] * len(leaves)
+    oi = of = 0
+    for k, (l, b) in enumerate(zip(leaves, is_int)):
+        n = int(np.prod(l.shape, dtype=np.int64))
+        if b:
+            out_leaves[k] = pi[oi:oi + n].reshape(l.shape).astype(l.dtype)
+            oi += n
+        else:
+            out_leaves[k] = pf[of:of + n].reshape(l.shape).astype(l.dtype)
+            of += n
+    return jax.tree_util.tree_unflatten(treedef, out_leaves), int(pi[oi])
+
+
 def check_problems(carry) -> None:
     """Raise SimulationFailed for any set problem bit; accepts a
     DayCarry or a bare problem bitmask."""
@@ -361,12 +401,19 @@ def _run_days_body(run, cfg, arrays, schedules, state, carry, base_key,
         state, carry, outs = run_chunk(
             cfg, arrays, schedules, state, carry, base_key,
             this_chunk, day)
-        outs = jax.tree.map(np.asarray, outs)  # blocks
+        if mesh is not None:
+            # two-roundtrip packed fetch (incl. the problem scalar):
+            # per-leaf fetches of mesh-committed arrays each pay a
+            # tunnel roundtrip (see _pack_leaves)
+            outs, problem_val = _fetch_chunk_packed(outs, carry.problem)
+        else:
+            outs = jax.tree.map(np.asarray, outs)  # blocks
+            problem_val = carry
         chunk_times.append((this_chunk, time.perf_counter() - t0))
         # fail at the chunk boundary, as the reference fails at the day
         # boundary (main.pyx:2017-2018) — don't keep burning chips on,
         # streaming, or checkpointing a poisoned state
-        check_problems(carry)
+        check_problems(problem_val)
         rows.append(outs)
         day += this_chunk
         steps_left -= this_chunk

@@ -1380,9 +1380,21 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     # and table only coincide AFTER next step's phase-0 apply, so fill
     # may lead the table by a day); the TABLE scatter is deferred into
     # the carry and applied at the top of the next step — see the
-    # phase-0 comment. Unconditional full streams, never cond outputs.
-    bkt_fill = bkt_fill.at[app_src].add(
-        jnp.ones_like(app_src), mode="drop")
+    # phase-0 comment. The fill stream is valid-first (sorted append
+    # order puts SENT last), so the tail spans ride conds — (N,)-sized
+    # cond carries are ~free when skipped, and a full 64k stream cost
+    # ~0.45 ms/day for a p75 of ~1k live entries.
+    fill_ones = jnp.ones_like(app_src)
+    bkt_fill = bkt_fill.at[app_src[:Kh]].add(fill_ones[:Kh], mode="drop")
+    lo_f = Kh
+    while lo_f < Kcap:
+        hi_f = min(lo_f * 3, Kcap)
+        bkt_fill = jax.lax.cond(
+            n_app > lo_f,
+            lambda f, lo_f=lo_f, hi_f=hi_f: f.at[app_src[lo_f:hi_f]].add(
+                fill_ones[lo_f:hi_f], mode="drop"),
+            lambda f: f, bkt_fill)
+        lo_f = hi_f
 
     new_st = jnp.where(newly, C.INCUBATION, new_st)
     is_infected = is_infected | newly
@@ -1489,11 +1501,20 @@ def _exposures_by_place(key, K_g, q_hat):
     return jnp.sum(counts, axis=0).astype(I32)
 
 
+from ..utils.compile import engine_jit
+
+
+@engine_jit(static_argnums=(0,))
 def snapshot_outputs(cfg: EngineConfig, arrays: ModelArrays,
                      state: AgentState, carry: DayCarry,
                      mobility_scalar) -> DayOutputs:
     """Day-0 snapshot before any events (the reference emits state
-    before the first iterate, calc/simulation.py:194-270)."""
+    before the first iterate, calc/simulation.py:194-270).
+
+    Jitted: run_days calls this eagerly once per run, and under a mesh
+    the eager shard_map islands cost ~8.7 s of per-op host compiles and
+    dispatch (mesh trace, 2026-08-21) — jit folds them into one cached
+    program."""
     V = cfg.nr_variants
     st = state.state.astype(I32)
     active = state.active

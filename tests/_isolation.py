@@ -22,7 +22,7 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ISOLATED = os.environ.get("REINA_ISOLATED_SUBTEST") == "1"
 
 
-def run_isolated(nodeid, timeout=5400):
+def run_isolated(nodeid, timeout=7200):
     """Run one test (or module) in a fresh interpreter and assert it
     passed. The default timeout fits test_parallel.py's whole-module
     child: its ensemble tests compile ~5 distinct vmapped whole-engine

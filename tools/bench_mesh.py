@@ -50,19 +50,34 @@ def main() -> None:
           file=sys.stderr)
 
     # timed pass (compiled): run_days returns per-chunk wall times
+    trace_dir = os.environ.get("REINA_MESH_TRACE")
     t0 = time.perf_counter()
-    out2, _, carry2, times2 = run_days(run, n_days=days, chunk_days=28,
-                                       mesh=mesh)
+    if trace_dir:
+        import jax.profiler
+        with jax.profiler.trace(trace_dir):
+            out2, _, carry2, times2 = run_days(run, n_days=days,
+                                               chunk_days=28, mesh=mesh)
+    else:
+        out2, _, carry2, times2 = run_days(run, n_days=days, chunk_days=28,
+                                           mesh=mesh)
     wall = time.perf_counter() - t0
     steps = days - 1
     infected = int(np.asarray(out2.by_group)[-1, 3].sum())
+    mode = ("FALLBACK (GSPMD)"
+            if os.environ.get("REINA_MESH_SHARD_PALLAS", "1") == "0"
+            else "shard_map islands")
+    # loop-only: the per-chunk walls run_days returns (excludes the
+    # day-0 snapshot and the final host-side stacking; includes the
+    # per-chunk output transfer) — the quantity that scales with chips
+    loop_s = sum(t for _, t in times2)
     print(json.dumps({
         "metric": "hus_365d_mesh_ms_per_day",
         "mesh_seed_x_agent": list(mesh.devices.shape),
         "wall_s": round(wall, 3),
         "ms_per_day": round(wall / steps * 1000, 2),
+        "loop_ms_per_day": round(loop_s / steps * 1000, 2),
         "final_all_infected": infected,
-        "pallas": "FALLBACK (GSPMD)",
+        "pallas": mode,
     }))
 
 

@@ -197,6 +197,7 @@ def build_run(variables: Dict[str, Any],
         app_pos=(n_padded * cfg.max_infectees
                  + jnp.arange(cfg.infection_buffer, dtype=jnp.int32)),
         app_val=jnp.full(cfg.infection_buffer, n_padded, jnp.int32),
+        app_n=jnp.int32(0),
     )
 
     return CompiledRun(

@@ -96,6 +96,13 @@ class DayCarry(NamedTuple):
     #                              (idempotent .set payload — re-applying
     #                              after a checkpoint bucket rebuild is
     #                              harmless)
+    app_n: np.ndarray            # int32 — count of live pending entries
+    #                              (they are a prefix of app_pos: the
+    #                              sort puts invalid slots last), gating
+    #                              the apply's geometric tail tiers —
+    #                              the full 64k stream costs ~24 ns per
+    #                              update against the 432 MB table while
+    #                              p75 of daily appends is ~1k
 
 
 def blank_state(pop: PopulationArrays) -> AgentState:

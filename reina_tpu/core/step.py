@@ -733,8 +733,25 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     # measured ~1.15 ms/day, day-200 trace 2026-08-20). Tracing
     # semantics are identical either way: phase-3 reads only ever saw
     # appends from previous days.
-    bd_flat = carry.bkt_dst.at[carry.app_pos].set(
-        carry.app_val, mode="drop", unique_indices=True)
+    # tiered apply: pending entries are a prefix of the stream (the
+    # append sort puts invalid slots last; mid-prefix overflow slots
+    # are drop sentinels), so the head span applies unconditionally and
+    # geometric tails ride conds on the pending count — the full 64k
+    # stream measured ~24 ns/update against the 432 MB table (in-place
+    # scatter thunk, day-200 trace 2026-08-21) while p75 of daily
+    # appends is ~1k
+    _ah = min(cfg.infection_head, cfg.infection_buffer)
+    bd_flat = carry.bkt_dst.at[carry.app_pos[:_ah]].set(
+        carry.app_val[:_ah], mode="drop", unique_indices=True)
+    _lo = _ah
+    while _lo < cfg.infection_buffer:
+        _hi = min(_lo * 3, cfg.infection_buffer)
+        bd_flat = jax.lax.cond(
+            carry.app_n > _lo,
+            lambda b, _lo=_lo, _hi=_hi: b.at[carry.app_pos[_lo:_hi]].set(
+                carry.app_val[_lo:_hi], mode="drop", unique_indices=True),
+            lambda b: b, bd_flat)
+        _lo = _hi
     bucket_tiers = tier_bounds(min(cfg.bucket_head, CAPB), CAPB)
     member_tiers = tier_bounds(min(cfg.infection_head, Tcap), Tcap)
 
@@ -1413,11 +1430,17 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     # all_detected are exact per-group derivations (see the mask fn)
     fields = [active, is_infected, has_immunity, dov, detected_today,
               new_st, ever_icu, death_outside, newly]
-    # force="xla": measured faster than the Pallas kernel in situ — see
-    # the K_age call above
+    # force="xla" measured faster than the Pallas kernel in situ at the
+    # time of the transpose fixes; REINA_BY10_KERNEL=1 re-enables the
+    # kernel for A/B (the XLA form pays 8 pred[N,1] bitcast copies +
+    # the (N,10) bf16 concat ≈ 0.57 ms/day in the day-200 trace)
+    import os as _os
+    _by10_force = (None if cfg.pallas
+                   and _os.environ.get("REINA_BY10_KERNEL") == "1"
+                   else "xla")
     by10 = fused_fn_onehot_sum(
         fields, _output_masks_reduced, 10, arrays.group_of_agent,
-        cfg.nr_groups + 1, force="xla")[:, :-1].astype(I32)
+        cfg.nr_groups + 1, force=_by10_force)[:, :-1].astype(I32)
     (vacc_g, ever_g, det_g, inicu_g, cicu_g, ward_g, dead_g, rec_g,
      nh_g, new_g) = by10
     all_detected = carry.all_detected + det_g
@@ -1479,7 +1502,7 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         problem=problem,
         bkt_dst=bd_flat, bkt_fill=bkt_fill,
         mob=sched.mobility, nc_ag=nc_ag,
-        app_pos=app_pos, app_val=app_val,
+        app_pos=app_pos, app_val=app_val, app_n=n_app,
     )
     return new_state, new_carry, out
 

@@ -1,5 +1,16 @@
 """Calibration sweep: a vmapped parameter grid recovers the
 transmission level that produced synthetic "observed" data."""
+
+import pytest as _pytest
+
+from _isolation import ISOLATED as _ISOLATED
+
+# engine-compiling module: runs only inside a fresh child interpreter
+# (tests/test_isolated_modules.py) -- see the cumulative XLA:CPU defect
+# note in tests/_isolation.py
+pytestmark = _pytest.mark.skipif(
+    not _ISOLATED,
+    reason="compile-fragile: executed via test_isolated_modules")
 import numpy as np
 import pytest
 

@@ -8,6 +8,17 @@ Alignment: engine output row d == oracle history[d] (both snapshot
 before day d runs); engine per-variant cumulative infections are the
 cumsum of the per-day ``infected_by_variant`` series.
 """
+
+import pytest as _pytest
+
+from _isolation import ISOLATED as _ISOLATED
+
+# engine-compiling module: runs only inside a fresh child interpreter
+# (tests/test_isolated_modules.py) -- see the cumulative XLA:CPU defect
+# note in tests/_isolation.py
+pytestmark = _pytest.mark.skipif(
+    not _ISOLATED,
+    reason="compile-fragile: executed via test_isolated_modules")
 import numpy as np
 import pytest
 

@@ -7,6 +7,17 @@ state after day d-1 (emit-then-iterate); oracle history[d] is snapshotted
 at the top of day d — so engine[d] == oracle[d], including the queue
 drain series (both report day d-1's drain at index d).
 """
+
+import pytest as _pytest
+
+from _isolation import ISOLATED as _ISOLATED
+
+# engine-compiling module: runs only inside a fresh child interpreter
+# (tests/test_isolated_modules.py) -- see the cumulative XLA:CPU defect
+# note in tests/_isolation.py
+pytestmark = _pytest.mark.skipif(
+    not _ISOLATED,
+    reason="compile-fragile: executed via test_isolated_modules")
 import numpy as np
 import pytest
 

@@ -20,7 +20,9 @@ import numpy as np
 
 from .state import AgentState, DayCarry
 
-FORMAT_VERSION = 5   # v5: the infectee edge table became per-source
+FORMAT_VERSION = 6   # v6: DayCarry gained the deferred bucket-append
+#                      stream (app_pos/app_val/app_n), persisted; v5:
+#                      the infectee edge table became per-source
 #                      buckets, EXCLUDED from the file (pure function
 #                      of per-agent state — rebuild_buckets); v4:
 #                      DayCarry gained the cached mobility/nc_ag pair;

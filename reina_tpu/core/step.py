@@ -1433,7 +1433,9 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     # force="xla" measured faster than the Pallas kernel in situ at the
     # time of the transpose fixes; REINA_BY10_KERNEL=1 re-enables the
     # kernel for A/B (the XLA form pays 8 pred[N,1] bitcast copies +
-    # the (N,10) bf16 concat ≈ 0.57 ms/day in the day-200 trace)
+    # the (N,10) bf16 concat ≈ 0.57 ms/day in the day-200 trace).
+    # TRACE-TIME only: the env var is read when the step traces and is
+    # not part of any jit cache key — flip it in a fresh process.
     import os as _os
     _by10_force = (None if cfg.pallas
                    and _os.environ.get("REINA_BY10_KERNEL") == "1"

@@ -21,6 +21,7 @@ Design rules that keep it safe:
 from __future__ import annotations
 
 import contextlib
+import contextvars
 import os
 from typing import Any, Callable, Sequence
 
@@ -47,7 +48,15 @@ LANE = 128
 # keeps the GSPMD-partitioned fallback (`exact_int` gates it).
 # ---------------------------------------------------------------------------
 
-_SHARD: tuple | None = None     # (mesh, axis_name, interpret) | None
+# (mesh, axis_name, interpret) | None — a ContextVar so concurrent or
+# reentrant run_days calls (e.g. a threaded ensemble driver mixing mesh
+# and non-mesh runs) can't cross-contaminate which ops trace as islands.
+_SHARD_VAR: "contextvars.ContextVar[tuple | None]" = contextvars.ContextVar(
+    "reina_shard_pallas", default=None)
+
+
+def _shard_get() -> tuple | None:
+    return _SHARD_VAR.get()
 
 
 @contextlib.contextmanager
@@ -55,28 +64,27 @@ def shard_pallas(mesh, axis: str = "agent"):
     """Activate shard_map islands for fused kernels traced inside the
     context. ``REINA_SHARD_INTERPRET=1`` runs the island kernels through
     the Pallas interpreter (CPU CI for the island/collective logic)."""
-    global _SHARD
-    prev = _SHARD
     interp = os.environ.get("REINA_SHARD_INTERPRET", "0") == "1"
-    _SHARD = (mesh, axis, interp)
+    token = _SHARD_VAR.set((mesh, axis, interp))
     try:
         yield
     finally:
-        _SHARD = prev
+        _SHARD_VAR.reset(token)
 
 
 def shard_active() -> bool:
     """True while a shard_pallas context is open (ops must then choose
     the island or the GSPMD-partitionable fallback — never bare Pallas)."""
-    return _SHARD is not None
+    return _shard_get() is not None
 
 
 def shard_ctx(n: int, mult: int):
     """The active shard context, if ``n`` splits into per-shard lengths
     compatible with the kernels' ``mult`` alignment — else None."""
-    if _SHARD is None:
+    shard = _shard_get()
+    if shard is None:
         return None
-    mesh, ax, interp = _SHARD
+    mesh, ax, interp = shard
     k = mesh.shape[ax]
     if n % (k * mult) != 0:
         return None
@@ -127,7 +135,7 @@ def fused_map(fn: Callable, n_out: int, arrays: Sequence[jnp.ndarray],
     smalls2 = [_as_2d(s) for s in smalls]
     n_arr = len(arrays)
 
-    if force is None and _SHARD is not None:
+    if force is None and _shard_get() is not None:
         ctx = shard_ctx(N, 8 * LANE)
         if ctx is not None:
             mesh, ax, interp = ctx
@@ -250,7 +258,7 @@ def fused_onehot_sum(parts, code_b, n_b: int,
     N = parts[0].shape[0]
     code_b = code_b.astype(jnp.int32)
 
-    if force is None and _SHARD is not None:
+    if force is None and _shard_get() is not None:
         ctx = shard_ctx(N, 1024)
         if ctx is not None:
             mesh, ax, interp = ctx
@@ -329,7 +337,7 @@ def fused_fn_onehot_sum(fields, mask_fn, n_masks: int, code_b, n_b: int,
     code_b = code_b.astype(jnp.int32)
     n_f = len(fields)
 
-    if force is None and _SHARD is not None:
+    if force is None and _shard_get() is not None:
         ctx = shard_ctx(N, 1024)
         if ctx is not None:
             mesh, ax, interp = ctx
@@ -456,7 +464,7 @@ def fused_concat_prefix(weights, codes, n_seg: int,
     else:
         codes = codes.astype(jnp.int32)
 
-    if force is None and _SHARD is not None:
+    if force is None and _shard_get() is not None:
         ctx = shard_ctx(N, 8 * LANE) if exact_int else None
         if ctx is not None:
             mesh, ax, interp = ctx
@@ -572,7 +580,7 @@ def fused_bihistogram(code_a, n_a: int, weights, code_b, n_b: int,
     code_b = code_b.astype(jnp.int32)
     weights = weights.astype(jnp.float32)
 
-    if force is None and _SHARD is not None:
+    if force is None and _shard_get() is not None:
         ctx = shard_ctx(N, 1024)
         if ctx is not None:
             mesh, ax, interp = ctx

@@ -102,18 +102,35 @@ def engine_jit(fn=None, *, static_argnums=(), no_persistent_cache=False):
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
         backend = "tpu" if _is_tpu() else "other"
-        jitted = compiled.get(backend)
+        # The active shard_pallas mesh is consulted at TRACE time (the
+        # fused ops wrap themselves in shard_map islands over it), so it
+        # must be part of the jit cache key: two meshes with the same
+        # agent-shard count would otherwise silently reuse the first
+        # mesh's compiled program (ADVICE r4).
+        jitted = compiled.get((backend, _shard_fingerprint()))
         if jitted is None:
             opts = TPU_COMPILER_OPTIONS if backend == "tpu" else None
             jitted = jax.jit(fn, static_argnums=static_argnums,
                              compiler_options=opts)
-            compiled[backend] = jitted
+            compiled[(backend, _shard_fingerprint())] = jitted
         if no_persistent_cache:
             with persistent_cache_disabled():
                 return jitted(*args, **kwargs)
         return jitted(*args, **kwargs)
 
     return wrapper
+
+
+def _shard_fingerprint():
+    """Hashable identity of the active shard_pallas context (device ids
+    + axis names + interpret flag), or None outside one."""
+    from ..ops.fusedmap import _shard_get
+    shard = _shard_get()
+    if shard is None:
+        return None
+    mesh, ax, interp = shard
+    return (tuple(int(d.id) for d in mesh.devices.flat),
+            tuple(mesh.axis_names), ax, interp)
 
 
 @contextlib.contextmanager

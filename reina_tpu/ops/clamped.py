@@ -78,18 +78,20 @@ def _shift1(x, fill):
 def _ledger_kernel(releases, requests, offset, base, interpret=False,
                    emit_carry=False):
     """The streaming-scan launch behind :func:`_grants_streaming`:
-    per-ledger U/rm streams for (n, L) release/request columns, plus —
-    with ``emit_carry`` — the kernel's final (L, 3) SMEM carries
-    (running sum of a, running max of key_a, running max of key) so a
-    mesh shard can hand its successor the exact sequential state
-    (scalar stores must target SMEM, not a VMEM block). ``base`` is the
-    global position of this slab's first element (0 unsharded;
+    per-ledger U/rm streams for L release/request column lists (each a
+    flat (n,) stream — the per-column layout avoids the (n, L)
+    interleave relayouts an axis-1 stack costs, ~0.3 ms/day at HUS
+    scale), plus — with ``emit_carry`` — the kernel's final (L, 3) SMEM
+    carries (running sum of a, running max of key_a, running max of
+    key) so a mesh shard can hand its successor the exact sequential
+    state (scalar stores must target SMEM, not a VMEM block). ``base``
+    is the global position of this slab's first element (0 unsharded;
     shard_index·n_local on a mesh) — the cyclic-sweep mask ``in_a`` is
     a function of GLOBAL position."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    n, L = releases.shape
+    n, L = releases[0].shape[0], len(releases)
     # force="pallas" on an ineligible size would give blk ∤ R: G = R//blk
     # truncates and the tail rows are never written by any grid step —
     # fail loudly instead of returning uninitialized grants
@@ -164,10 +166,10 @@ def _ledger_kernel(releases, requests, offset, base, interpret=False,
         out_specs=[bs] * (2 * L) + carry_spec,
         scratch_shapes=[pltpu.SMEM((L, 3), jnp.int32)],
         interpret=interpret,
-    )(off2, *(releases[:, led].reshape(R, LANE) for led in range(L)),
-      *(requests[:, led].reshape(R, LANE) for led in range(L)))
-    U = jnp.stack([o.reshape(n) for o in outs[:L]], axis=1)
-    rm = jnp.stack([o.reshape(n) for o in outs[L:2 * L]], axis=1)
+    )(off2, *(r.reshape(R, LANE) for r in releases),
+      *(q.reshape(R, LANE) for q in requests))
+    U = [o.reshape(n) for o in outs[:L]]
+    rm = [o.reshape(n) for o in outs[L:2 * L]]
     return U, rm, (outs[2 * L] if emit_carry else None)
 
 
@@ -211,28 +213,35 @@ def _grants_streaming(releases, requests, init, offset, interpret=False):
 def _grants_from_streams(U, rm, releases, requests, init, offset):
     """The closed-form consumption of the kernel's U/rm streams: every
     boundary scalar comes back out with single-element gathers, then the
-    grant decision is one elementwise pass (see _grants_streaming)."""
-    n, L = releases.shape
-    relv = releases.astype(jnp.int32)
-    reqv = requests.astype(jnp.int32)
-    key_at = lambda i: jnp.where(reqv[i] == 1, 0, _NEG) - (U[i] - reqv[i])
-    s_tot = U[n - 1] - reqv[n - 1]                              # (L,)
-    rm_a_end = jnp.maximum(rm[n - 1], key_at(n - 1))
-    c_off = U[offset] - relv[offset]
-    om1 = jnp.clip(offset - 1, 0, n - 1)
-    rmb_end = jnp.where(offset > 0,
-                        jnp.maximum(rm[om1], key_at(om1)), _NEG)
-
-    base_a = init.astype(jnp.int32) - c_off
-    final_a = s_tot + jnp.maximum(base_a, rm_a_end)
-    final_b = c_off + jnp.maximum(final_a, rmb_end)
+    grant decision is one elementwise pass per ledger column (see
+    _grants_streaming). All per-ledger inputs/outputs are LISTS of (n,)
+    streams."""
+    n = releases[0].shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
-    in_a_v = (idx >= offset)[:, None]
-    arriving_p = U + jnp.where(in_a_v,
-                               jnp.maximum(base_a[None], rm),
-                               jnp.maximum(final_a[None], rm))
-    granted = requests & (arriving_p > 0)
-    return granted, final_b
+    in_a_v = idx >= offset
+    om1 = jnp.clip(offset - 1, 0, n - 1)
+    granted, finals = [], []
+    for led in range(len(releases)):
+        relv = releases[led].astype(jnp.int32)
+        reqv = requests[led].astype(jnp.int32)
+        Ul, rml = U[led], rm[led]
+        key_at = lambda i: (jnp.where(reqv[i] == 1, 0, _NEG)
+                            - (Ul[i] - reqv[i]))
+        s_tot = Ul[n - 1] - reqv[n - 1]
+        rm_a_end = jnp.maximum(rml[n - 1], key_at(n - 1))
+        c_off = Ul[offset] - relv[offset]
+        rmb_end = jnp.where(offset > 0,
+                            jnp.maximum(rml[om1], key_at(om1)), _NEG)
+
+        base_a = init[led].astype(jnp.int32) - c_off
+        final_a = s_tot + jnp.maximum(base_a, rm_a_end)
+        final_b = c_off + jnp.maximum(final_a, rmb_end)
+        arriving_p = Ul + jnp.where(in_a_v,
+                                    jnp.maximum(base_a, rml),
+                                    jnp.maximum(final_a, rml))
+        granted.append(requests[led] & (arriving_p > 0))
+        finals.append(final_b)
+    return granted, jnp.stack(finals)
 
 
 def _grants_sharded(releases, requests, init, offset, ctx):
@@ -250,11 +259,12 @@ def _grants_sharded(releases, requests, init, offset, ctx):
     from jax.sharding import PartitionSpec as P
 
     mesh, ax, interp = ctx
-    n, L = releases.shape
+    n, L = releases[0].shape[0], len(releases)
     nloc = n // mesh.shape[ax]
     k = mesh.shape[ax]
 
-    def _local(rel, req, off):
+    def _local(off, *cols):
+        rel, req = list(cols[:L]), list(cols[L:])
         i = jax.lax.axis_index(ax).astype(jnp.int32)
         base = i * nloc
         U_loc, rm_loc, carr = _ledger_kernel(rel, req, off, base, interp,
@@ -268,17 +278,19 @@ def _grants_sharded(releases, requests, init, offset, ctx):
         before = jnp.arange(k)[:, None] < i
         m_a0 = jnp.max(jnp.where(before, adj_a, _NEG), axis=0)
         m_f0 = jnp.max(jnp.where(before, adj_f, _NEG), axis=0)
-        U = U_loc + s0[None, :]
         pos = base + jnp.arange(nloc, dtype=jnp.int32)
-        carry_m = jnp.where((pos >= off)[:, None],
-                            m_a0[None, :], m_f0[None, :])
-        rm = jnp.maximum(rm_loc - s0[None, :], carry_m)
-        return U, rm
+        in_a = pos >= off
+        U = [u + s0[led] for led, u in enumerate(U_loc)]
+        rm = [jnp.maximum(r - s0[led],
+                          jnp.where(in_a, m_a0[led], m_f0[led]))
+              for led, r in enumerate(rm_loc)]
+        return tuple(U) + tuple(rm)
 
-    U, rm = jax.shard_map(
-        _local, mesh=mesh, in_specs=(P(ax), P(ax), P()),
-        out_specs=(P(ax), P(ax)), check_vma=False)(
-        releases, requests, jnp.asarray(offset, jnp.int32))
+    outs = jax.shard_map(
+        _local, mesh=mesh, in_specs=(P(),) + (P(ax),) * (2 * L),
+        out_specs=(P(ax),) * (2 * L), check_vma=False)(
+        jnp.asarray(offset, jnp.int32), *releases, *requests)
+    U, rm = list(outs[:L]), list(outs[L:])
     return _grants_from_streams(U, rm, releases, requests, init, offset)
 
 
@@ -293,12 +305,14 @@ def clamped_counter_grants(releases, requests, init, offset,
       offset: scalar int32 — sweep starts at position ``offset`` and
         wraps (the reference's random start index, main.pyx:1988).
 
-    Arrays may carry a trailing ledger axis L — (N, L) releases/requests
-    with (L,) init — to run several independent counters (hospital beds,
-    ICU units); each ledger runs 1-D cumulative passes (XLA's fast
-    reduce-window path; an (N, 2L)-lane pass relayouts to [2L, N/128,
-    128] tiles and measures ~2-3x slower on TPU — the device trace had
-    the lane-stacked pair at 3.8 ms/day vs ~0.3 ms per 1-D pass).
+    Several independent counters (hospital beds, ICU units) run as a
+    LIST (or tuple) of L (N,) release/request columns with (L,) init —
+    each ledger runs 1-D cumulative passes (XLA's fast reduce-window
+    path; an (N, 2L)-lane pass relayouts to [2L, N/128, 128] tiles and
+    measures ~2-3x slower on TPU, and even BUILDING an (N, L) operand
+    from per-stream columns costs ~0.3 ms/day of interleave relayouts —
+    day-200 trace 2026-08-21 — so columns stay flat end-to-end). An
+    (N, L) array is also accepted and split into columns.
 
     The cyclic wrap ([offset, N) then [0, offset)) needs NO masked
     cumsum lanes: segment-local prefix *sums* fall out of the one
@@ -310,40 +324,49 @@ def clamped_counter_grants(releases, requests, init, offset,
     passes per ledger.
 
     Returns:
-      granted: (N,) or (N, L) bool — request approved (counter was > 0
-        on arrival, counting the position's own release first).
+      granted: (N,) bool — or a TUPLE of L (N,) bools for multi-ledger
+        input — request approved (counter was > 0 on arrival, counting
+        the position's own release first).
       final: scalar or (L,) int32 — counter value after the full sweep.
     """
-    n = releases.shape[0]
-    releases = releases.astype(jnp.int32)
     init = jnp.asarray(init, jnp.int32)
-    squeeze = releases.ndim == 1
-    if squeeze:
-        releases = releases[:, None]
-        requests = requests[:, None]
-        init = init.reshape(init.shape or (1,)) if init.ndim == 0 \
-            else init[..., None]
-    L = releases.shape[1]
+    if isinstance(releases, (list, tuple)):
+        rel_cols = [r.astype(jnp.int32) for r in releases]
+        req_cols = list(requests)
+        squeeze = False
+    else:
+        releases = releases.astype(jnp.int32)
+        squeeze = releases.ndim == 1
+        if squeeze:
+            rel_cols, req_cols = [releases], [requests]
+            init = init.reshape(init.shape or (1,)) if init.ndim == 0 \
+                else init[..., None]
+        else:
+            rel_cols = [releases[:, j] for j in range(releases.shape[1])]
+            req_cols = [requests[:, j] for j in range(requests.shape[1])]
+    n = rel_cols[0].shape[0]
+    L = len(rel_cols)
+
+    def _out(granted, final):
+        if squeeze:
+            return granted[0], final[0]
+        if isinstance(releases, (list, tuple)):
+            return tuple(granted), final
+        return jnp.stack(granted, axis=1), final
 
     if force is None and shard_active():
         ctx = shard_ctx(n, 8 * LANE)
         if ctx is not None:
-            granted, final = _grants_sharded(releases, requests, init,
-                                             offset, ctx)
-            if squeeze:
-                return granted[:, 0], final[0]
-            return granted, final
+            return _out(*_grants_sharded(rel_cols, req_cols, init,
+                                         offset, ctx))
         force = "xla"   # sharded but island-ineligible: GSPMD fallback
 
     use_pallas = force in ("pallas", "interpret") or (
         force is None and _is_tpu() and n % (8 * LANE) == 0)
     if use_pallas:
-        granted, final = _grants_streaming(
-            releases, requests, init, offset,
-            interpret=force == "interpret")
-        if squeeze:
-            return granted[:, 0], final[0]
-        return granted, final
+        return _out(*_grants_streaming(
+            rel_cols, req_cols, init, offset,
+            interpret=force == "interpret"))
 
     idx = jnp.arange(n, dtype=jnp.int32)
     in_a = idx >= offset
@@ -352,8 +375,8 @@ def clamped_counter_grants(releases, requests, init, offset,
     granted_cols = []
     finals = []
     for led in range(L):
-        rel = releases[:, led]
-        req = requests[:, led]
+        rel = rel_cols[led]
+        req = req_cols[led]
         a = rel - req.astype(jnp.int32)
         m = jnp.where(req, 0, _NEG)
 
@@ -380,6 +403,4 @@ def clamped_counter_grants(releases, requests, init, offset,
         granted_cols.append(req & ((arriving + rel) > 0))
         finals.append(final_b)
 
-    if squeeze:
-        return granted_cols[0], finals[0]
-    return jnp.stack(granted_cols, axis=1), jnp.stack(finals)
+    return _out(granted_cols, jnp.stack(finals))

@@ -121,6 +121,10 @@ class SimulationResults:
     finished: bool
     predicted_metrics: DailyMetrics
     end_date: Optional[str] = None
+    # "compiling" | "running" | "finished" (additive vs the reference:
+    # a fresh config's first chunk sits inside an XLA compile for
+    # minutes; the client's 0.5 s poll needs something to show)
+    phase: str = "running"
 
 
 @dataclass
@@ -286,8 +290,10 @@ def resolve_simulation_results(_root, info, run_id):
         dates, metrics = [], []
     end = (date.fromisoformat(_get(info, "start_date"))
            + timedelta(days=_get(info, "simulation_days"))).isoformat()
+    phase = cache.get("%s-phase" % run_id) or \
+        ("finished" if finished else "running")
     return SimulationResults(
-        run_id=run_id, finished=bool(finished), end_date=end,
+        run_id=run_id, finished=bool(finished), end_date=end, phase=phase,
         predicted_metrics=DailyMetrics(dates=dates, metrics=metrics))
 
 

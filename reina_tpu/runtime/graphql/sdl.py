@@ -107,6 +107,8 @@ type SimulationResults {
   finished: Boolean!
   endDate: String!
   predictedMetrics: DailyMetrics!
+  "Run phase (additive): compiling | running | finished — a fresh config's first chunk sits inside an XLA compile for minutes"
+  phase: String!
 }
 
 type PopulationAgeGroup {

@@ -39,9 +39,20 @@ def host_cpu_fingerprint() -> str:
     feat = platform.machine()
     try:
         with open("/proc/cpuinfo") as f:
+            got_flags = got_model = False
             for line in f:
-                if line.startswith("flags"):
+                # the model name too, not just the flags: LLVM applies
+                # model-derived TUNING (e.g. +prefer-no-scatter) that
+                # two hosts with identical cpuinfo flags may not share
+                # (observed 2026-08-21: cache dir matched, loader
+                # warned about mismatched compile-machine features)
+                if line.startswith("flags") and not got_flags:
                     feat += " ".join(sorted(line.split(":", 1)[1].split()))
+                    got_flags = True
+                elif line.startswith("model name") and not got_model:
+                    feat += line.split(":", 1)[1].strip()
+                    got_model = True
+                if got_flags and got_model:
                     break
     except OSError:
         pass

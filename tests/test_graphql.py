@@ -438,3 +438,36 @@ def test_graphiql_page_served():
     from reina_tpu.runtime.graphql.server import GRAPHIQL_HTML
     assert "graphiql" in GRAPHIQL_HTML.lower()
     assert "/graphql" in GRAPHIQL_HTML
+
+
+def test_simulation_results_phase_field():
+    """simulationResults.phase surfaces compile progress: 'compiling'
+    before the first partial, 'running' after, 'finished' at the end
+    (additive field — a fresh config's first chunk sits inside a
+    multi-minute XLA compile while the client polls at 0.5 s)."""
+    from reina_tpu.runtime import cache
+
+    key = "phasetest"
+    q = ('{ simulationResults(runId: "%s") '
+         '{ runId finished phase } }') % key
+
+    cache.set("%s-finished" % key, False)
+    cache.set("%s-phase" % key, "compiling")
+    out = execute(SCHEMA, q, context=ctx())
+    assert out["data"]["simulationResults"]["phase"] == "compiling"
+    assert out["data"]["simulationResults"]["finished"] is False
+
+    cache.set("%s-phase" % key, "running")
+    out = execute(SCHEMA, q, context=ctx())
+    assert out["data"]["simulationResults"]["phase"] == "running"
+
+    # terminal state; and a missing phase key falls back sensibly
+    cache.set("%s-finished" % key, True)
+    cache.set("%s-phase" % key, None)
+    out = execute(SCHEMA, q, context=ctx())
+    assert out["data"]["simulationResults"]["phase"] == "finished"
+    assert out["data"]["simulationResults"]["finished"] is True
+
+    # SDL carries the field (introspection contract for clients)
+    from reina_tpu.runtime.graphql.sdl import SDL
+    assert "phase: String!" in SDL

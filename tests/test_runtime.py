@@ -333,3 +333,18 @@ def test_shm_cache_interface():
     assert c.get("run1-results") == {"total": [1, 2, 3]}
     assert c.get("missing") is None
     ShmKV.unlink("reina-cache")
+
+
+def test_webui_run_poll_protocol():
+    """The web UI's exact run→poll loop (runSimulation mutation, then
+    the page's poll document at its cadence until finished) against the
+    real worker/cache/GraphQL plumbing with a fast fake engine —
+    asserts the phase transitions, monotonically growing partial
+    frames, and that every metric the chart render() picks is present
+    (tools/check_webui.check_protocol; round-4 verdict, weak #6)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from check_webui import check_protocol
+    assert check_protocol() == []

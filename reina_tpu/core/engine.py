@@ -369,12 +369,22 @@ def _run_days_body(run, cfg, arrays, schedules, state, carry, base_key,
                    checkpoint_every, resume, mesh):
     from . import checkpoint as ckpt
 
+    # Chunk outputs accumulate ON DEVICE and fetch in one packed
+    # two-roundtrip transfer at sync points — per-chunk fetches cost 2
+    # tunnel roundtrips each (~2.1 ms/day at HUS scale) and the day-0
+    # snapshot's per-leaf fetch 11 more (MESH_BENCH history). When
+    # nobody is watching mid-run (no callback, no checkpointing) the
+    # only sync point is the end of the run.
+    sync_each_chunk = (day_callback is not None
+                       or checkpoint_dir is not None)
+
     # day-0 row precedes intervention application (the reference emits
     # generate_state BEFORE iterate applies start_date-dated events,
     # calc/simulation.py:194-270), so mobility is the pristine 1.0 here
     snap = snapshot_outputs(cfg, arrays, state, carry,
                             jnp.float32(1.0))
-    rows = [jax.tree.map(lambda x: np.asarray(x)[None], snap)]
+    pending = [jax.tree.map(lambda x: x[None], snap)]  # device-resident
+    rows = []                                          # fetched numpy
     day = 0
 
     if checkpoint_dir and resume:
@@ -390,7 +400,26 @@ def _run_days_body(run, cfg, arrays, schedules, state, carry, base_key,
                 carry = jax.tree.map(jnp.asarray, carry)
             day = int(carry.day)
             if saved_out is not None:
+                pending = []
                 rows = [saved_out]
+
+    def sync_pending():
+        """Fetch every device-pending chunk in one packed transfer and
+        return the problem bitmask (fail-fast happens at sync points —
+        the reference fails at the day boundary, main.pyx:2017-2018;
+        deferring the check never changes outputs, only how long a
+        poisoned run keeps the chip busy)."""
+        nonlocal pending
+        if pending:
+            stacked_dev = (pending[0] if len(pending) == 1
+                           else jax.tree.map(
+                               lambda *xs: jnp.concatenate(xs, 0), *pending))
+            outs_np, problem_val = _fetch_chunk_packed(
+                stacked_dev, carry.problem)
+            rows.append(outs_np)
+            pending = []
+            return problem_val
+        return int(np.asarray(carry.problem))
 
     steps_left = (n_days - 1) - day
     import time
@@ -402,23 +431,13 @@ def _run_days_body(run, cfg, arrays, schedules, state, carry, base_key,
         state, carry, outs = run_chunk(
             cfg, arrays, schedules, state, carry, base_key,
             this_chunk, day)
-        if mesh is not None:
-            # two-roundtrip packed fetch (incl. the problem scalar):
-            # per-leaf fetches of mesh-committed arrays each pay a
-            # tunnel roundtrip (see _pack_leaves)
-            outs, problem_val = _fetch_chunk_packed(outs, carry.problem)
-        else:
-            outs = jax.tree.map(np.asarray, outs)  # blocks
-            problem_val = carry
-        chunk_times.append((this_chunk, time.perf_counter() - t0))
-        # fail at the chunk boundary, as the reference fails at the day
-        # boundary (main.pyx:2017-2018) — don't keep burning chips on,
-        # streaming, or checkpointing a poisoned state
-        check_problems(problem_val)
-        rows.append(outs)
+        pending.append(outs)
         day += this_chunk
         steps_left -= this_chunk
         since_ckpt += this_chunk
+        if sync_each_chunk or steps_left == 0:
+            check_problems(sync_pending())
+        chunk_times.append((this_chunk, time.perf_counter() - t0))
         if checkpoint_dir and (since_ckpt >= checkpoint_every
                                or steps_left == 0):
             stacked = jax.tree.map(lambda *xs: np.concatenate(xs, 0), *rows)
@@ -433,8 +452,9 @@ def _run_days_body(run, cfg, arrays, schedules, state, carry, base_key,
             if not day_callback(day, partial_out):
                 raise ExecutionInterrupted()
 
-    check_problems(carry)
-    stacked = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *rows)
+    check_problems(sync_pending())
+    stacked = (rows[0] if len(rows) == 1 else
+               jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *rows))
     return stacked, state, carry, chunk_times
 
 

@@ -202,26 +202,19 @@ def expand_by_age(arrays: ModelArrays, per_age, terms: int = 2):
     return jnp.sum(y * arrays.age_onehot_lo.astype(F32), axis=1)
 
 
-def _severity_draw_slots(key, arrays: ModelArrays, v_i, age_i, dov_i, day):
-    """get_symptom_severity (main.pyx:1041-1091) on the compact
-    infection-slot domain — severity only exists for agents infected
-    today, so the draw runs on slot-sized vectors (small-table gathers
-    by (variant, age)) instead of full-N passes, including the
-    duplicated fatal branch that sends every chain-fatal case to death
-    outside hospital. Returns (severity i8, death_outside bool)."""
-    val = jr.uniform(key, v_i.shape, F32)
-    vmod = jnp.where(
-        (dov_i >= 0) & ((day - dov_i.astype(I32)) > C.VACCINE_DELAY_DAYS),
-        1.0 - C.VACCINE_EFFICACY, 1.0)
-    syc_raw = arrays.p_sympt[v_i, age_i]
+def severity_from_uniform(val, syc_raw, dohc, sc, cc, fc, vmod):
+    """The deterministic severity decision chain of
+    get_symptom_severity (main.pyx:1041-1091) as a pure function of the
+    uniform draw ``val`` and the (variant, age)-resolved probability
+    terms — factored out so the hand-computed quantile fixture
+    (tests/test_severity_fixture.py) can drive the EXACT code the
+    engine runs at chosen ``val`` values. Includes the duplicated fatal
+    branch quirk that sends every chain-fatal case to death outside
+    hospital. Returns (severity i8, death_outside bool)."""
     asympt = val >= syc_raw
     syc = syc_raw * vmod
-    dohc = arrays.p_doh[v_i, age_i]
     fatal_doh = (dohc > 0) & (val < dohc * syc)
     val = jnp.where(dohc > 0, (val - dohc) / (1 - dohc), val)
-    sc = arrays.p_severe_c[v_i, age_i]
-    cc = arrays.p_critical_c[v_i, age_i]
-    fc = arrays.p_fatal_c[v_i, age_i]
     sev = jnp.where(val < sc * syc, C.SEVERE, C.MILD)
     sev = jnp.where(val < cc * sc * syc, C.CRITICAL, sev)
     fatal_chain = val < fc * cc * sc * syc
@@ -232,6 +225,27 @@ def _severity_draw_slots(key, arrays: ModelArrays, v_i, age_i, dov_i, day):
     sev = jnp.where(asympt, C.ASYMPTOMATIC, sev)
     outside = outside & ~asympt
     return sev.astype(jnp.int8), outside
+
+
+def vaccine_modifier(dov_i, day):
+    """1 − efficacy once the vaccination is older than the delay
+    (main.pyx:1050-1056)."""
+    return jnp.where(
+        (dov_i >= 0) & ((day - dov_i.astype(I32)) > C.VACCINE_DELAY_DAYS),
+        1.0 - C.VACCINE_EFFICACY, 1.0)
+
+
+def _severity_draw_slots(key, arrays: ModelArrays, v_i, age_i, dov_i, day):
+    """get_symptom_severity (main.pyx:1041-1091) on the compact
+    infection-slot domain — severity only exists for agents infected
+    today, so the draw runs on slot-sized vectors (small-table gathers
+    by (variant, age)) instead of full-N passes. Returns
+    (severity i8, death_outside bool)."""
+    val = jr.uniform(key, v_i.shape, F32)
+    return severity_from_uniform(
+        val, arrays.p_sympt[v_i, age_i], arrays.p_doh[v_i, age_i],
+        arrays.p_severe_c[v_i, age_i], arrays.p_critical_c[v_i, age_i],
+        arrays.p_fatal_c[v_i, age_i], vaccine_modifier(dov_i, day))
 
 
 def _binomial_split(key, totals, probs):
@@ -287,16 +301,25 @@ def _tab(table2, idx, v_count):
 
 
 def _phase4_prologue(st8, dl, doil, doi, sev8, var8, wdet, isinf, act,
-                     z, nc_ag, iot2, asym2, infm2, day2):
+                     z, nc_ag, incl, ninf, iot2, asym2, infm2, day2):
     """Exposure-phase per-agent prep: infectiousness-over-time lookup,
     exposer gating, lognormal contact counts (main.pyx:895-953,
-    1306-1320). Pure elementwise (the iot lookup is an unrolled
-    (variant, day) select over the small table) — ONE fused pass."""
+    1306-1320) — plus the R_t bookkeeping element passes (newly-removed
+    mask, included update, masked infection counts; main.pyx:1968-1972),
+    which read the same start-of-day state streams and ride the same
+    launch (their sums stay outside — ~4 fusions saved). Pure
+    elementwise (the iot lookup is an unrolled (variant, day) select
+    over the small table) — ONE fused pass."""
     st = st8.astype(I32)
     sev = sev8.astype(I32)
     var = var8.astype(I32)
     V, T = iot2.shape
     day = day2[0, 0]
+
+    removed = (st == C.RECOVERED) | (st == C.DEAD)
+    count_now = removed & ~incl & act
+    included = incl | count_now
+    ninf_m = jnp.where(count_now, ninf, 0)
 
     day_rel = jnp.where(st == C.INCUBATION, -dl.astype(I32),
                         doil.astype(I32))
@@ -329,7 +352,30 @@ def _phase4_prologue(st8, dl, doil, doi, sev8, var8, wdet, isinf, act,
     k_s = jnp.where(exposer, k_s, 0)
 
     vts = (var * T + iot_idx_c) * 2 + asympt.astype(I32)
-    return exposer, inf_base, k_s, vts
+    return exposer, inf_base, k_s, vts, count_now, included, ninf_m
+
+
+def _finalize_body(st, sevv, var, var_new, dl, doil, doi, newly, isinf,
+                   trc, det, det_hosp, day2, ct2):
+    """End-of-day merge of today's new infections into the carried
+    agent fields plus the narrow output casts (person_infect writes,
+    main.pyx:209-235) — ONE fused pass instead of ~10 XLA fusions.
+    16-bit streams compute in i32 and cast at the stores (Mosaic has no
+    16-bit vector arithmetic)."""
+    day = day2[0, 0]
+    ct = ct2[0, 0] != 0
+    st_n = jnp.where(newly, C.INCUBATION, st)
+    var_n = jnp.where(newly, var_new, var)
+    doi_n = jnp.where(newly, day, doi.astype(I32))
+    doil_n = jnp.where(newly, 0, doil.astype(I32))
+    return (st_n.astype(jnp.int8), sevv.astype(jnp.int8),
+            var_n.astype(jnp.int8), dl.astype(jnp.int16),
+            doil_n.astype(jnp.int16), doi_n.astype(jnp.int16),
+            isinf | newly,
+            # a new infectee mallocs its own infectee list iff tracing
+            # is active at its infection time (main.pyx:227-233)
+            trc | (newly & ct),
+            det | det_hosp)
 
 
 def _make_receiver_body(v_count, n_bands):
@@ -696,15 +742,10 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     import_counts = sched.import_today + weekly_today  # (V,)
 
     # ---- phase 2: R_t totals over newly-removed agents ---------------
-    removed = (st == C.RECOVERED) | (st == C.DEAD)
-    count_now = removed & ~state.included_in_totals & active
-    total_infectors = jnp.sum(count_now, dtype=I32)
-    total_infections = jnp.sum(jnp.where(count_now, state.n_infected, 0), dtype=I32)
-    included = state.included_in_totals | count_now
-    r_value = jnp.where(
-        total_infectors > 5,
-        total_infections.astype(F32) / jnp.maximum(total_infectors, 1).astype(F32),
-        0.0)
+    # the element passes (newly-removed mask, included update, masked
+    # counts) ride the phase-4 prologue launch — they read the same
+    # start-of-day state streams; only the two sums live here (the
+    # removal test uses start-of-day state either way)
 
     # ---- phase 3: testing drain, tracing, vaccination -----------------
     drained = state.queued
@@ -979,15 +1020,23 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         jnp.all(sched.mobility == carry.mob),
         lambda _: carry.nc_ag,
         lambda _: expand_by_age(arrays, nc_a), 0)
-    # iot lookup + exposer gating + contact counts: ONE fused pass
-    # (main.pyx:895-953, 1306-1320)
-    exposer, inf_base, k_s, vts = fused_map(
-        _phase4_prologue, 4,
+    # iot lookup + exposer gating + contact counts + the R_t element
+    # passes: ONE fused pass (main.pyx:895-953, 1306-1320, 1968-1972)
+    exposer, inf_base, k_s, vts, count_now, included, ninf_m = fused_map(
+        _phase4_prologue, 7,
         [state.state, state.days_left, state.day_of_illness,
          state.day_of_infection, state.severity, state.variant,
-         was_detected, state.is_infected, active, z, nc_ag],
+         was_detected, state.is_infected, active, z, nc_ag,
+         state.included_in_totals, state.n_infected],
         [arrays.iot, arrays.asymp_mult, arrays.inf_mult, day], force=fm)
     exposed_per_day = jnp.sum(k_s, dtype=I32)
+    total_infectors = jnp.sum(count_now, dtype=I32)
+    total_infections = jnp.sum(ninf_m, dtype=I32)
+    r_value = jnp.where(
+        total_infectors > 5,
+        total_infections.astype(F32)
+        / jnp.maximum(total_infectors, 1).astype(F32),
+        0.0)
 
     # mask protection per (variant, age, place): p(either mask saves)
     # = a + b − ab with a = m·p_others, b = m·p_wearer (main.pyx:926-933)
@@ -1065,12 +1114,13 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     queued = queued | queue_new
 
     offset = jr.randint(k_offset, (), 0, N)
-    # both ledgers (beds, ICU) ride one pair of cumulative passes
-    granted2, after2 = clamped_counter_grants(
-        jnp.stack([hosp_end.astype(I32), icu_end.astype(I32)], axis=1),
-        jnp.stack([bed_request, icu_request], axis=1),
+    # both ledgers (beds, ICU) ride one streaming launch; the columns
+    # stay flat (N,) streams end-to-end — an axis-1 stack cost ~0.3
+    # ms/day of interleave relayouts (day-200 trace 2026-08-21)
+    (granted_bed, granted_icu), after2 = clamped_counter_grants(
+        [hosp_end.astype(I32), icu_end.astype(I32)],
+        [bed_request, icu_request],
         jnp.stack([beds_avail, icu_avail]), offset, force=fm)
-    granted_bed, granted_icu = granted2[:, 0], granted2[:, 1]
     beds_after, icu_after = after2[0], after2[1]
 
     (new_st, days_left, is_infected, has_immunity, ever_icu,
@@ -1084,7 +1134,7 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         [arrays.ratio_before_hosp, arrays.ratio_in_ward,
          arrays.p_icu_death_no_beds, arrays.p_hosp_death_no_beds],
         force=fm)
-    detected_today = detected_today | detect_hosp
+    # detect_hosp merges into detected_today inside the finalize kernel
     new_st = new_st.astype(I32)
 
     # ---- phase 6: merge new infections ---------------------------------
@@ -1413,15 +1463,20 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
             lambda f: f, bkt_fill)
         lo_f = hi_f
 
-    new_st = jnp.where(newly, C.INCUBATION, new_st)
-    is_infected = is_infected | newly
-    # a new infectee mallocs its OWN (empty) infectee list iff contact
-    # tracing is active at its infection time (main.pyx:227-233)
-    traceable = state.traceable | (newly & ct_active)
-    day_of_infection = jnp.where(newly, day.astype(jnp.int16),
-                                 state.day_of_infection)
-    variant_out = jnp.where(newly, variant_new, variant)
-    day_of_illness = jnp.where(newly, 0, day_of_illness)
+    # ---- finalize: merge new infections into the carried fields ------
+    # ONE fused launch for the ~10 elementwise merge/cast passes
+    # (new-state where-merges + the int8/int16 output casts) — as
+    # separate XLA fusions they cost ~0.15-0.2 ms/day of launch floors
+    # (day-200 trace 2026-08-21). A new infectee mallocs its OWN
+    # (empty) infectee list iff contact tracing is active at its
+    # infection time (main.pyx:227-233).
+    (st8_out, sev8_out, var8_out, dl16_out, doil16_out, doi16_out,
+     is_infected, traceable, detected_today) = fused_map(
+        _finalize_body, 9,
+        [new_st, sev_out, variant, variant_new, days_left,
+         day_of_illness, state.day_of_infection, newly, is_infected,
+         state.traceable, detected_today, detect_hosp],
+        [day, ct_active.astype(I32)], force=fm)
 
     # ---- phase 7: outputs ----------------------------------------------
     # 10 GROUP_ROW masks are computed INSIDE the blockwise one-hot
@@ -1429,7 +1484,7 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
     # being materialized as (N,) bools in HBM; susceptible / infected /
     # all_detected are exact per-group derivations (see the mask fn)
     fields = [active, is_infected, has_immunity, dov, detected_today,
-              new_st, ever_icu, death_outside, newly]
+              st8_out, ever_icu, death_outside, newly]
     # force="xla" measured faster than the Pallas kernel in situ at the
     # time of the transpose fixes; REINA_BY10_KERNEL=1 re-enables the
     # kernel for A/B (the XLA form pays 8 pred[N,1] bitcast copies +
@@ -1475,13 +1530,13 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
 
     new_state = AgentState(
         age=state.age,
-        state=new_st.astype(jnp.int8),
-        severity=sev_out.astype(jnp.int8),
-        variant=variant_out.astype(jnp.int8),
+        state=st8_out,
+        severity=sev8_out,
+        variant=var8_out,
         death_outside=death_outside,
-        days_left=days_left.astype(jnp.int16),
-        day_of_illness=day_of_illness.astype(jnp.int16),
-        day_of_infection=day_of_infection,
+        days_left=dl16_out,
+        day_of_illness=doil16_out,
+        day_of_infection=doi16_out,
         day_of_vaccination=dov,
         o2r=o2r,
         infector=infector,

@@ -5,8 +5,9 @@ Replaces the reference's 8-process ``multiprocessing.Pool.map`` over
 
 Execution strategy (measured, tools/bench_ensemble.py on the v5e):
 single-chip seed sweeps run SEQUENTIALLY through the one compiled
-single-run program — at HUS scale that is ~20 ms/day/seed, i.e. a
-1000-seed 364-day ensemble in ~2 h/chip. The ``vmap``-batched program
+single-run program — at HUS scale ~6-7 ms/day/seed on the current
+engine (BENCH_MC.json holds the latest measured 1000-seed 364-day
+record; ~1.4-1.7k seeds/h/chip). The ``vmap``-batched program
 costs ~200 ms/day/seed at S=8 (12× worse: batching the engine's
 gather/scatter streams and the (N, groups) one-hot matmul operands
 multiplies the scalar-pipeline work and HBM-resident intermediates by

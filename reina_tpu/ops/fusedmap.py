@@ -235,6 +235,19 @@ def _row_dots(cols, oh):
                                preferred_element_type=jnp.float32)
 
 
+def _lhs_rows(cols):
+    """(K, m) bf16 row-stack of K (m,) mask/int columns — the XLA
+    fallbacks' dot lhs. Row-major: each row is a contiguous N-copy
+    (free-ish) and the dot contracts ((1,), (0,)), the natural
+    (M,K)×(K,N) orientation. The previous (m, K) column build paid
+    ~0.6 ms/day of lane-interleave concat + K pred[m,1] bitcast copies
+    at HUS scale (day-200 trace 2026-08-21). Exact-integer bf16 values,
+    f32 accumulation — bit-identical counts either way."""
+    return jnp.stack(
+        [c.astype(jnp.float32).astype(jnp.bfloat16) for c in cols],
+        axis=0)
+
+
 def fused_onehot_sum(parts, code_b, n_b: int,
                      max_block: int = 32768, force: str | None = None):
     """out[k, b] = sum_i parts[k][i] * [code_b[i] == b] as blockwise
@@ -275,21 +288,13 @@ def fused_onehot_sum(parts, code_b, n_b: int,
                 out_specs=P(), check_vma=False)(code_b, *parts)
         force = "xla"
 
-    def lhs_block(cols):
-        # cast to f32 BEFORE inserting the minor dim: Mosaic only
-        # supports non-no-op minor-dim reshapes for 32-bit types
-        # (bool masks otherwise die in tpu.reshape on i1 vectors)
-        return jnp.concatenate(
-            [c.astype(jnp.float32)[:, None].astype(jnp.bfloat16)
-             for c in cols], axis=1)                      # (m, K) bf16
-
     interpret = force == "interpret"
     use_pallas = interpret or force == "pallas" or (
         force is None and _is_tpu() and N % 1024 == 0)
     if not use_pallas:
         return jax.lax.dot_general(
-            lhs_block(parts), _onehot_bf16(code_b, n_b),
-            (((0,), (0,)), ((), ())),
+            _lhs_rows(parts), _onehot_bf16(code_b, n_b),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)           # (K, n_b)
 
     from jax.experimental import pallas as pl
@@ -353,12 +358,6 @@ def fused_fn_onehot_sum(fields, mask_fn, n_masks: int, code_b, n_b: int,
                 out_specs=P(), check_vma=False)(code_b, *fields)
         force = "xla"
 
-    def lhs_block(cols):
-        # f32 cast before the minor-dim insert (see fused_onehot_sum)
-        return jnp.concatenate(
-            [c.astype(jnp.float32)[:, None].astype(jnp.bfloat16)
-             for c in cols], axis=1)                      # (m, K) bf16
-
     interpret = force == "interpret"
     use_pallas = interpret or force == "pallas" or (
         force is None and _is_tpu() and N % 1024 == 0)
@@ -366,8 +365,8 @@ def fused_fn_onehot_sum(fields, mask_fn, n_masks: int, code_b, n_b: int,
         masks = mask_fn(*fields)
         assert len(masks) == n_masks
         return jax.lax.dot_general(
-            lhs_block(masks), _onehot_bf16(code_b, n_b),
-            (((0,), (0,)), ((), ())),
+            _lhs_rows(masks), _onehot_bf16(code_b, n_b),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)           # (K, n_b)
 
     from jax.experimental import pallas as pl

@@ -847,93 +847,111 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
             clip never changes a consulted value."""
             return jnp.where(hit_ok, r2_tab[jnp.clip(tgt, 0, N - 1)], N)
 
+        # Tier execution: ONE lax.switch on the tier CEILING, each
+        # branch processing members [0, sizes[k]) in a single fused
+        # block — the earlier formulation chained cumulative tier
+        # bodies under lax.cond, paying every active tier's full op
+        # set (slice/gather/uniform/compare/2 scatters ≈ 15-20 ops) on
+        # heavy days (~125 small ops/day at the epidemic peak, day-200
+        # trace 2026-08-21). Each branch draws ONE uniform block of its
+        # merged shape from the pass's first tier key (assembling the
+        # old per-tier key blocks would add ~7k threefry equations to
+        # the jaxpr — a compile-time hazard); this RE-KEYS the tracing
+        # draws vs round 4 (still i.i.d. uniform per (member, col) —
+        # an equally-valid sample path, docs/parity.md re-keying note).
+        # Sentinel members (used=False / live=False) never fire.
+        mem_sizes = [lo + seg for lo, seg in member_tiers]
+        sizes_arr = jnp.asarray(mem_sizes, I32)
+
         def bucket_passes(members_buf, src_ok, ktab, with_recurse,
                           hit, hit_r2, n_m):
             """Read the infectee buckets of compacted ``members_buf``
-            in (member tier × bucket-column tier) blocks; scatter fired
-            targets (and their folded level-2 infector candidates) into
-            the shared hit buffers. ``src_ok`` (or None if members are
-            prefiltered) gates per member; sentinel members read row
-            N−1 harmlessly (their fill is forced to 0)."""
-            def mem_tier(carry, lo, seg, part):
-                hit, hit_r2 = carry
-                seg_buf = jax.lax.slice_in_dim(members_buf, lo, lo + seg)
-                used = seg_buf < N
-                bp = jnp.clip(seg_buf, 0, N - 1)
-                ok_m = used if src_ok is None else used & src_ok[bp]
-                fill_m = jnp.where(ok_m, jnp.minimum(bkt_fill[bp], CAPB), 0)
-                mf = jnp.max(fill_m)
+            in ONE (member-ceiling × column-ceiling) switch branch;
+            scatter fired targets (and their folded level-2 infector
+            candidates) into the shared hit buffers. ``src_ok`` (or
+            None if members are prefiltered) gates per member;
+            sentinel members read row N−1 harmlessly (their fill is
+            forced to 0)."""
+            def mem_branch(k):
+                end = mem_sizes[k]
 
-                def col_tier(carry, jlo, jseg, jpart):
+                def branch(carry):
                     hit, hit_r2 = carry
-                    cols = jlo + jnp.arange(jseg, dtype=I32)
-                    idx = (bp[:, None] * CAPB + cols[None, :]).reshape(-1)
-                    dst = bd_flat[idx].reshape(seg, jseg)
-                    live = cols[None, :] < fill_m[:, None]
-                    u = jr.uniform(ktab[part * len(bucket_tiers) + jpart],
-                                   (seg, jseg), F32)
-                    fire = live & (u < sched.trace_p)
-                    tgt = jnp.where(fire, dst, N).reshape(-1)
-                    hit = hit.at[tgt].set(True, mode="drop")
-                    if with_recurse:
-                        t2 = jnp.where(
-                            fire, r2_tab[jnp.clip(dst, 0, N - 1)],
-                            N).reshape(-1)
-                        hit_r2 = hit_r2.at[t2].set(True, mode="drop")
-                    return hit, hit_r2
+                    seg_buf = jax.lax.slice_in_dim(members_buf, 0, end)
+                    used = seg_buf < N
+                    bp = jnp.clip(seg_buf, 0, N - 1)
+                    ok_m = used if src_ok is None else used & src_ok[bp]
+                    fill_m = jnp.where(ok_m,
+                                       jnp.minimum(bkt_fill[bp], CAPB), 0)
+                    mf = jnp.max(fill_m)
 
-                for jpart, (jlo, jseg) in enumerate(bucket_tiers):
-                    if jlo == 0:
-                        hit, hit_r2 = col_tier((hit, hit_r2), jlo, jseg,
-                                               jpart)
-                    else:
-                        hit, hit_r2 = jax.lax.cond(
-                            mf > jlo,
-                            lambda c, jlo=jlo, jseg=jseg, jpart=jpart:
-                                col_tier(c, jlo, jseg, jpart),
-                            lambda c: c, (hit, hit_r2))
-                return hit, hit_r2
+                    def col_branch(c):
+                        jend = bucket_tiers[c][0] + bucket_tiers[c][1]
 
-            for part, (lo, seg) in enumerate(member_tiers):
-                if lo == 0:
-                    hit, hit_r2 = mem_tier((hit, hit_r2), lo, seg, part)
-                else:
-                    hit, hit_r2 = jax.lax.cond(
-                        n_m > lo,
-                        lambda c, lo=lo, seg=seg, part=part:
-                            mem_tier(c, lo, seg, part),
-                        lambda c: c, (hit, hit_r2))
-            return hit, hit_r2
+                        def cb(carry):
+                            hit, hit_r2 = carry
+                            cols = jnp.arange(jend, dtype=I32)
+                            idx = (bp[:, None] * CAPB
+                                   + cols[None, :]).reshape(-1)
+                            dst = bd_flat[idx].reshape(end, jend)
+                            live = cols[None, :] < fill_m[:, None]
+                            u = jr.uniform(ktab[0], (end, jend), F32)
+                            fire = live & (u < sched.trace_p)
+                            tgt = jnp.where(fire, dst, N).reshape(-1)
+                            hit = hit.at[tgt].set(True, mode="drop")
+                            if with_recurse:
+                                t2 = jnp.where(
+                                    fire, r2_tab[jnp.clip(dst, 0, N - 1)],
+                                    N).reshape(-1)
+                                hit_r2 = hit_r2.at[t2].set(True,
+                                                           mode="drop")
+                            return hit, hit_r2
+                        return cb
+
+                    col_ends = jnp.asarray(
+                        [jlo + jseg for jlo, jseg in bucket_tiers], I32)
+                    c_idx = jnp.searchsorted(col_ends, mf, side="left")
+                    return jax.lax.switch(
+                        c_idx, [col_branch(c)
+                                for c in range(len(bucket_tiers))],
+                        (hit, hit_r2))
+                return branch
+
+            k_idx = jnp.searchsorted(sizes_arr, jnp.minimum(n_m, Tcap),
+                                     side="left")
+            return jax.lax.switch(
+                k_idx, [mem_branch(k) for k in range(len(mem_sizes))],
+                (hit, hit_r2))
 
         # ---- level 1 (sources: the drained queue, compacted once) ----
         dbuf, n_d = compact_indices(drained & active, Tcap, force=fm)
 
-        def l1_part(carry, lo, seg, part):
-            hit1, hit_r2a = carry
-            seg_buf = jax.lax.slice_in_dim(dbuf, lo, lo + seg)
-            used = seg_buf < N
-            bp = jnp.clip(seg_buf, 0, N - 1)
-            inf_s = infector[bp]
-            u1 = jr.uniform(dk.l1[part], (seg,), F32)
-            succ = used & (inf_s >= 0) & (u1 < sched.trace_p)
-            tgt = jnp.where(succ, inf_s, N)
-            hit1 = hit1.at[tgt].set(True, mode="drop")
-            t2a = recurse_targets(tgt, succ)
-            hit_r2a = hit_r2a.at[t2a].set(True, mode="drop")
-            return hit1, hit_r2a
+        def l1_branch(k):
+            end = mem_sizes[k]
+
+            def branch(carry):
+                hit1, hit_r2a = carry
+                seg_buf = jax.lax.slice_in_dim(dbuf, 0, end)
+                used = seg_buf < N
+                bp = jnp.clip(seg_buf, 0, N - 1)
+                inf_s = infector[bp]
+                u1 = jr.uniform(dk.l1[0], (end,), F32)
+                succ = used & (inf_s >= 0) & (u1 < sched.trace_p)
+                tgt = jnp.where(succ, inf_s, N)
+                hit1 = hit1.at[tgt].set(True, mode="drop")
+                t2a = recurse_targets(tgt, succ)
+                hit_r2a = hit_r2a.at[t2a].set(True, mode="drop")
+                return hit1, hit_r2a
+            return branch
 
         # (N,)-sized with mode="drop" scatters (the N sentinel drops)
         hit1 = jnp.zeros(N, bool)
         hit_r2a = jnp.zeros(N, bool)
-        for part, (lo, seg) in enumerate(member_tiers):
-            if lo == 0:
-                hit1, hit_r2a = l1_part((hit1, hit_r2a), lo, seg, part)
-            else:
-                hit1, hit_r2a = jax.lax.cond(
-                    n_d > lo,
-                    lambda c, lo=lo, seg=seg, part=part:
-                        l1_part(c, lo, seg, part),
-                    lambda c: c, (hit1, hit_r2a))
+        k1_idx = jnp.searchsorted(sizes_arr, jnp.minimum(n_d, Tcap),
+                                  side="left")
+        hit1, hit_r2a = jax.lax.switch(
+            k1_idx, [l1_branch(k) for k in range(len(mem_sizes))],
+            (hit1, hit_r2a))
         # level-1 infectee buckets (+ inline level-2 infector
         # candidates), accumulating straight into l1's buffers
         hit12, hit_r2ab = bucket_passes(
@@ -1289,38 +1307,42 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
         o2r_i = g2 * (C.ONSET_TO_REMOVED_CV ** 2) * mu_o2r
         return inf_new, tr_src, sev_i, outside_i, incub_i, o2r_i
 
-    # geometric tiers (head, 3·head, 9·head, …): a day pays only for the
-    # tiers its infection count reaches
-    buf0 = compact_part(0, Kh)
-    parts = [(buf0,) + slot_pipeline(buf0, 0)]
-    lo = Kh
-    pidx = 1
-    while lo < Kcap:
-        seg = min(lo * 3, Kcap) - lo
+    # geometric tiers (head, 3·head, 9·head, …) as ONE lax.switch on
+    # the tier CEILING: branch k runs compaction + the whole slot
+    # pipeline over slots [0, ends[k]) in a single block and pads the
+    # tail with the drop-identity values. The earlier cumulative
+    # cond chain paid every active tier's full pipeline op set — incl.
+    # ~15 bisection-gather rounds per tier for the compaction and
+    # attribution searches (~0.5 ms/day at the epidemic peak, day-200
+    # trace). Draws use the part-0 keys at the branch's merged shape —
+    # a RE-KEYING vs round 4 (i.i.d. uniforms either way;
+    # docs/parity.md re-keying note).
+    slot_ends = [lo + seg for lo, seg in tier_bounds(Kh, Kcap)]
 
-        def do_seg(_, lo=lo, seg=seg, pidx=pidx):
-            b = compact_part(lo, seg)
-            return (b,) + slot_pipeline(b, pidx)
+    def slot_branch(k):
+        end = slot_ends[k]
 
-        parts.append(jax.lax.cond(
-            n_new > lo, do_seg,
-            lambda _, seg=seg: (jnp.full(seg, N, I32),
-                                jnp.full(seg, -1, I32),
-                                jnp.zeros(seg, bool),
-                                jnp.zeros(seg, jnp.int8),
-                                jnp.zeros(seg, bool),
-                                jnp.zeros(seg, jnp.int16),
-                                jnp.zeros(seg, F32)),
-            0))
-        lo += seg
-        pidx += 1
-    if len(parts) == 1:
-        (buf_agent, infector_new, tr_slot, sev_slot, outside_slot,
-         incub_slot, o2r_slot) = parts[0]
-    else:
-        (buf_agent, infector_new, tr_slot, sev_slot, outside_slot,
-         incub_slot, o2r_slot) = (jnp.concatenate([p[i] for p in parts])
-                                  for i in range(7))
+        def branch(_):
+            b = compact_part(0, end)
+            vals = (b,) + slot_pipeline(b, 0)
+            if end == Kcap:
+                return vals
+            pads = (jnp.full(Kcap - end, N, I32),
+                    jnp.full(Kcap - end, -1, I32),
+                    jnp.zeros(Kcap - end, bool),
+                    jnp.zeros(Kcap - end, jnp.int8),
+                    jnp.zeros(Kcap - end, bool),
+                    jnp.zeros(Kcap - end, jnp.int16),
+                    jnp.zeros(Kcap - end, F32))
+            return tuple(jnp.concatenate([v, p])
+                         for v, p in zip(vals, pads))
+        return branch
+
+    ts_idx = jnp.searchsorted(jnp.asarray(slot_ends, I32),
+                              jnp.minimum(n_new, Kcap), side="left")
+    (buf_agent, infector_new, tr_slot, sev_slot, outside_slot,
+     incub_slot, o2r_slot) = jax.lax.switch(
+        ts_idx, [slot_branch(k) for k in range(len(slot_ends))], 0)
     slot_used = buf_agent < N
 
     src_scatter = jnp.where(slot_used & (infector_new >= 0), infector_new, N)
@@ -1387,7 +1409,7 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
             return pos, pad(val, N), pad(srcp, N), overflow
         return branch
 
-    slot_tier_ends = [lo + seg for lo, seg in tier_bounds(Kh, Kcap)]
+    slot_tier_ends = slot_ends   # same ladder as the slot-pipeline switch
     t_idx = jnp.searchsorted(jnp.asarray(slot_tier_ends, I32),
                              jnp.minimum(n_new, Kcap), side="left")
     app_pos, app_val, app_src, app_ovf = jax.lax.cond(

@@ -1,11 +1,14 @@
 """Ensemble vmap + multi-chip mesh sharding (8 virtual CPU devices).
 
-Every whole-engine-compiling test here runs in ONE fresh child
-interpreter (test_parallel_isolated): the cumulative XLA:CPU defect
-(tests/_isolation.py) segfaulted the canonical full-suite run at
-test_ensemble_vmap's vmapped whole-engine compile ~71 tests in
-(2026-08-20, backend_compile_and_load), silently discarding every test
-after it. The identical compiles pass in a fresh process.
+Every whole-engine-compiling test here runs in its OWN fresh child
+interpreter (test_parallel_isolated, parametrized per test): the
+cumulative XLA:CPU defect (tests/_isolation.py) SIGABRTs a process
+after ~4-6 whole-engine compiles — a single whole-module child
+accumulated ~6 and died at test_shard_pallas_islands_bit_identical
+(round-4 judge run) even though the same test passes alone. Per-test
+children keep every child ≤ ~3 big compiles; the persistent CPU
+compile cache (conftest) serves repeated programs across children, so
+the split costs only interpreter startup for the cache-served tests.
 """
 import numpy as np
 import pytest
@@ -19,12 +22,29 @@ needs_fresh_process = pytest.mark.skipif(
     reason="compile-fragile: executed inside test_parallel_isolated's "
            "child interpreter")
 
+# every @needs_fresh_process test below, launched one child each
+GUARDED_TESTS = [
+    "test_ensemble_vmap",
+    "test_ensemble_matches_single",
+    "test_dryrun_multichip",
+    "test_dryrun_multichip_agent8",
+    "test_sharded_ensemble",
+    "test_sharded_ensemble_seed_only_8",
+    "test_run_days_agent_sharded",
+    "test_run_days_agent_sharded_8_fallback",
+    "test_shard_pallas_islands_bit_identical",
+    "test_mesh_checkpoint_resume",
+    "test_ensemble_single_seed_bypass",
+    "test_ensemble_64_seed_batch",
+]
 
-def test_parallel_isolated():
-    """Run the guarded tests below in a fresh interpreter."""
+
+@pytest.mark.parametrize("node", GUARDED_TESTS)
+def test_parallel_isolated(node):
+    """Run each guarded test below in its own fresh interpreter."""
     if ISOLATED:
         pytest.skip("already inside the isolated child")
-    run_isolated("tests/test_parallel.py")
+    run_isolated(f"tests/test_parallel.py::{node}")
 
 
 @needs_fresh_process
@@ -81,12 +101,67 @@ def test_run_days_agent_sharded(tiny_run):
     from reina_tpu.parallel.mesh import make_mesh
 
     mesh = make_mesh(n_seed=1, n_agent=4, devices=jax.devices()[:4])
-    out_sharded, _, _, _ = run_days(tiny_run, n_days=12, chunk_days=6,
+    out_sharded, _, _, _ = run_days(tiny_run, n_days=13, chunk_days=6,
                                     mesh=mesh)
-    out_plain, _, _, _ = run_days(tiny_run, n_days=12, chunk_days=6)
+    out_plain, _, _, _ = run_days(tiny_run, n_days=13, chunk_days=6)
     np.testing.assert_array_equal(out_sharded.by_group, out_plain.by_group)
     np.testing.assert_array_equal(out_sharded.available_icu_units,
                                   out_plain.available_icu_units)
+
+
+@needs_fresh_process
+def test_run_days_agent_sharded_8_fallback(tiny_run, monkeypatch):
+    """Agent-only 1×8 mesh at the island-ALIGNMENT boundary: tiny_run's
+    N (20224) divides the 8 shards but NOT 8·1024, so with interpret
+    islands requested every fused op must DECLINE the island
+    (ops/fusedmap.shard_ctx) and take the GSPMD-partitioned fallback —
+    still bit-identical to the unsharded run."""
+    from reina_tpu.core.engine import run_days
+    from reina_tpu.parallel.mesh import make_mesh
+
+    n = tiny_run.init_state.age.shape[0]
+    assert n % 8 == 0 and n % (8 * 1024) != 0, n
+    monkeypatch.setenv("REINA_SHARD_INTERPRET", "1")
+    mesh = make_mesh(n_seed=1, n_agent=8)
+    # n_days=13 → 12 steps = 2×6: no remainder chunk (each distinct
+    # chunk_len compiles its own program — expensive on the 1-core CI)
+    out_sharded, _, _, _ = run_days(tiny_run, n_days=13, chunk_days=6,
+                                    mesh=mesh)
+    out_plain, _, _, _ = run_days(tiny_run, n_days=13, chunk_days=6)
+    np.testing.assert_array_equal(out_sharded.by_group, out_plain.by_group)
+    np.testing.assert_array_equal(out_sharded.r, out_plain.r)
+
+
+@needs_fresh_process
+def test_sharded_ensemble_seed_only_8(tiny_run):
+    """Seed-only 8×1 mesh: 8 ensemble members, one per device, no agent
+    sharding — the pure data-parallel Monte-Carlo layout."""
+    from reina_tpu.ensemble import run_ensemble
+    from reina_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_seed=8, n_agent=1)
+    outs = run_ensemble(tiny_run, seeds=list(range(8)), batch_size=8,
+                        mesh=mesh, n_days=8)
+    assert outs.by_group.shape[:2] == (8, 7)
+    finals = outs.by_group[:, -1, 3].sum(axis=1)
+    assert (finals > 0).all()
+    assert len(set(finals.tolist())) > 1
+
+
+@needs_fresh_process
+def test_dryrun_multichip_agent8():
+    """The driver dryrun at FULL agent sharding (1 seed × 8 agent
+    shards) — the single-host v5e-8 layout the north-star projection
+    assumes."""
+    assert len(jax.devices()) == 8, "conftest should provide 8 cpu devices"
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry_a8",
+        os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8, n_agent=8)
 
 
 @needs_fresh_process
@@ -103,7 +178,7 @@ def test_shard_pallas_islands_bit_identical(monkeypatch):
 
     # pad so N divides by n_agent·1024 (island eligibility)
     run = build_synthetic_run(
-        n_agents=20000, days=12, seed=3,
+        n_agents=20000, days=13, seed=3,
         interventions=[
             ["test-all-with-symptoms", "2020-02-20"],
             ["import-infections", "2020-02-20", 80],
@@ -112,10 +187,10 @@ def test_shard_pallas_islands_bit_identical(monkeypatch):
         ],
         pad_multiple=4096)
     assert run.init_state.age.shape[0] % (4 * 1024) == 0
-    out_plain, _, _, _ = run_days(run, n_days=12, chunk_days=6)
+    out_plain, _, _, _ = run_days(run, n_days=13, chunk_days=6)
     monkeypatch.setenv("REINA_SHARD_INTERPRET", "1")
     mesh = make_mesh(n_seed=1, n_agent=4, devices=jax.devices()[:4])
-    out_island, _, _, _ = run_days(run, n_days=12, chunk_days=6,
+    out_island, _, _, _ = run_days(run, n_days=13, chunk_days=6,
                                    mesh=mesh)
     np.testing.assert_array_equal(out_island.by_group, out_plain.by_group)
     np.testing.assert_array_equal(out_island.available_icu_units,

@@ -37,7 +37,8 @@ from .state import AgentState, DayCarry
 from ..ops.clamped import clamped_counter_grants
 from ..ops.compact import compact_indices
 from ..ops.fusedmap import (fused_bihistogram, fused_concat_prefix,
-                            fused_map, fused_onehot_sum)
+                            fused_fn_onehot_sum, fused_map,
+                            fused_onehot_sum)
 from ..ops.random import (binomial_fixed, gamma_fixed, searchsorted_compact,
                           searchsorted_fixed)
 
@@ -355,37 +356,26 @@ def _phase4_prologue(st8, dl, doil, doi, sev8, var8, wdet, isinf, act,
 
 
 def _finalize_body(st, sevv, var, var_new, dl, doil, doi, newly, isinf,
-                   trc, det, det_hosp, act, hasimm, evericu, dout, dov,
-                   day2, ct2):
+                   trc, det, det_hosp, day2, ct2):
     """End-of-day merge of today's new infections into the carried
     agent fields plus the narrow output casts (person_infect writes,
     main.pyx:209-235) — ONE fused pass instead of ~10 XLA fusions.
-    Also emits the 10 phase-7 GROUP_ROW masks as bf16 streams
-    (_output_masks_reduced) so the group-count dot's lhs assembles
-    from contiguous bf16 rows instead of 10 pred→f32→bf16 convert
-    fusions + an interleaving stack (~0.5 ms/day, day-200 trace
-    2026-08-21). 16-bit streams compute in i32 and cast at the stores
-    (Mosaic has no 16-bit vector arithmetic)."""
+    16-bit streams compute in i32 and cast at the stores (Mosaic has no
+    16-bit vector arithmetic)."""
     day = day2[0, 0]
     ct = ct2[0, 0] != 0
     st_n = jnp.where(newly, C.INCUBATION, st)
     var_n = jnp.where(newly, var_new, var)
     doi_n = jnp.where(newly, day, doi.astype(I32))
     doil_n = jnp.where(newly, 0, doil.astype(I32))
-    isinf_n = isinf | newly
-    det_n = det | det_hosp
-    masks = _output_masks_reduced(act, isinf_n, hasimm, dov, det_n,
-                                  st_n, evericu, dout, newly)
-    masks_bf16 = tuple(
-        m.astype(jnp.float32).astype(jnp.bfloat16) for m in masks)
     return (st_n.astype(jnp.int8), sevv.astype(jnp.int8),
             var_n.astype(jnp.int8), dl.astype(jnp.int16),
             doil_n.astype(jnp.int16), doi_n.astype(jnp.int16),
-            isinf_n,
+            isinf | newly,
             # a new infectee mallocs its own infectee list iff tracing
             # is active at its infection time (main.pyx:227-233)
             trc | (newly & ct),
-            det_n) + masks_bf16
+            det | det_hosp)
 
 
 def _make_receiver_body(v_count, n_bands):
@@ -1497,40 +1487,39 @@ def day_step(cfg: EngineConfig, arrays: ModelArrays, sched: SchedRow,
 
     # ---- finalize: merge new infections into the carried fields ------
     # ONE fused launch for the ~10 elementwise merge/cast passes
-    # (new-state where-merges + the int8/int16 output casts) PLUS the
-    # 10 phase-7 group-count masks as bf16 rows — as separate XLA
-    # fusions they cost ~0.5 ms/day of launch floors and convert/
-    # interleave traffic (day-200 trace 2026-08-21). A new infectee
-    # mallocs its OWN (empty) infectee list iff contact tracing is
-    # active at its infection time (main.pyx:227-233).
-    _fin = fused_map(
-        _finalize_body, 19,
+    # (new-state where-merges + the int8/int16 output casts) — as
+    # separate XLA fusions they cost ~0.15-0.2 ms/day of launch floors
+    # (day-200 trace 2026-08-21). A new infectee mallocs its OWN
+    # (empty) infectee list iff contact tracing is active at its
+    # infection time (main.pyx:227-233).
+    (st8_out, sev8_out, var8_out, dl16_out, doil16_out, doi16_out,
+     is_infected, traceable, detected_today) = fused_map(
+        _finalize_body, 9,
         [new_st, sev_out, variant, variant_new, days_left,
          day_of_illness, state.day_of_infection, newly, is_infected,
-         state.traceable, detected_today, detect_hosp, active,
-         has_immunity, ever_icu, death_outside, dov],
+         state.traceable, detected_today, detect_hosp],
         [day, ct_active.astype(I32)], force=fm)
-    (st8_out, sev8_out, var8_out, dl16_out, doil16_out, doi16_out,
-     is_infected, traceable, detected_today) = _fin[:9]
-    mask_rows_bf16 = _fin[9:]
 
     # ---- phase 7: outputs ----------------------------------------------
-    # The 10 GROUP_ROW masks were computed INSIDE the finalize kernel
-    # as exact bf16 0/1 rows (_output_masks_reduced; susceptible /
-    # infected / all_detected are exact per-group derivations — see the
-    # mask fn). Here they stack into the (10, N) dot lhs as contiguous
-    # row copies and ride ONE MXU dot against the group one-hot. The
-    # earlier forms — the blockwise Pallas one-hot kernel (+0.34
-    # ms/day device, re-measured 2026-08-21) and the XLA mask+stack
-    # build (~0.5 ms/day of convert/interleave) — both measured
-    # slower. Counts are exact integer f32 sums: bit-identical to both.
-    from ..ops.fusedmap import _onehot_bf16
-    by10 = jax.lax.dot_general(
-        jnp.stack(mask_rows_bf16, axis=0),
-        _onehot_bf16(arrays.group_of_agent.astype(I32),
-                     cfg.nr_groups + 1),
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)[:, :-1].astype(I32)
+    # 10 GROUP_ROW masks are computed INSIDE the blockwise one-hot
+    # kernel from 9 raw field streams (_output_masks_reduced) instead of
+    # being materialized as (N,) bools in HBM; susceptible / infected /
+    # all_detected are exact per-group derivations (see the mask fn)
+    fields = [active, is_infected, has_immunity, dov, detected_today,
+              st8_out, ever_icu, death_outside, newly]
+    # force="xla" measured faster than the Pallas kernel in situ at the
+    # time of the transpose fixes; REINA_BY10_KERNEL=1 re-enables the
+    # kernel for A/B (the XLA form pays 8 pred[N,1] bitcast copies +
+    # the (N,10) bf16 concat ≈ 0.57 ms/day in the day-200 trace).
+    # TRACE-TIME only: the env var is read when the step traces and is
+    # not part of any jit cache key — flip it in a fresh process.
+    import os as _os
+    _by10_force = (None if cfg.pallas
+                   and _os.environ.get("REINA_BY10_KERNEL") == "1"
+                   else "xla")
+    by10 = fused_fn_onehot_sum(
+        fields, _output_masks_reduced, 10, arrays.group_of_agent,
+        cfg.nr_groups + 1, force=_by10_force)[:, :-1].astype(I32)
     (vacc_g, ever_g, det_g, inicu_g, cicu_g, ward_g, dead_g, rec_g,
      nh_g, new_g) = by10
     all_detected = carry.all_detected + det_g

@@ -39,9 +39,12 @@ def main() -> None:
           f"padded={run.init_state.age.shape[0]}, device={jax.devices()[0]}",
           file=sys.stderr)
 
-    chunk = 28  # 364 steps = 13 × 28; XLA compile time grows super-
-    #             linearly with the scan trip count on this toolchain,
-    #             and per-chunk host sync is ~30 ms (0.4 s total)
+    # 364 steps = 13×28 = 7×52 = 4×91. XLA compile time grows super-
+    # linearly with the scan trip count on this toolchain, but each
+    # chunk boundary pays a ~25 ms tunnel-latency bubble between
+    # executes (wall − device ≈ 0.8 ms/day at chunk 28), so fewer,
+    # larger chunks trade one-time compile for steady wall.
+    chunk = int(os.environ.get("REINA_BENCH_CHUNK", "52"))
     key = jr.PRNGKey(run.random_seed)
 
     # Warm-up: compile the chunk program and run the first chunk.

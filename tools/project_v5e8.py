@@ -34,7 +34,10 @@ def main() -> None:
         mesh = json.load(f)
 
     days = 364
-    device_ms = mesh["device_while_ms_per_day"]
+    proj = mesh.get("v5e8_projection", {})
+    device_ms = proj.get("device_estimate_ms_per_day") or \
+        mesh.get("device_while_ms_per_day",
+                 mesh.get("device_while_ms_per_day_traced"))
     wall_ms = mesh["wall_s"] * 1000 / days
     loop_ms = mesh["loop_ms_per_day"]
     host_ms = wall_ms - device_ms          # per-PROCESS host cost/day

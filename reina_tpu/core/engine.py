@@ -427,6 +427,15 @@ def _run_days_body(run, cfg, arrays, schedules, state, carry, base_key,
     since_ckpt = 0
     while steps_left > 0:
         this_chunk = min(chunk_days, steps_left)
+        if this_chunk < chunk_days:
+            # remainder steps run as chunk_len=1 dispatches: every
+            # DISTINCT chunk_len compiles its own program, and a
+            # remainder-sized program compiled MID-RUN through the
+            # remote service cost ~150 s on the serving path (565-day
+            # default = 80×7 + 4; measured 2026-08-21). The single-day
+            # program is the smallest possible compile and is shared
+            # by every remainder of every run shape.
+            this_chunk = 1
         t0 = time.perf_counter()
         state, carry, outs = run_chunk(
             cfg, arrays, schedules, state, carry, base_key,

@@ -276,9 +276,17 @@ def warmup_serving_program() -> None:
     state, carry, outs = run_chunk(
         run.cfg, run.arrays, run.schedules, run.init_state,
         run.init_carry, jr.PRNGKey(run.random_seed), 7, 0)
+    # the single-day remainder program too: any simulation_days whose
+    # step count doesn't divide by 7 runs its tail as chunk_len=1
+    # dispatches (engine.run_days) — without this warm-up the FIRST
+    # run's tail pays that compile mid-run
+    state, carry, outs1 = run_chunk(
+        run.cfg, run.arrays, run.schedules, state, carry,
+        jr.PRNGKey(run.random_seed), 1, 7)
     # hard sync (block_until_ready does not synchronize through the
     # axon TPU tunnel)
     float(np.asarray(outs.by_group)[-1, 3].sum())
+    float(np.asarray(outs1.by_group)[-1, 3].sum())
     float(np.asarray(snap.by_group)[3].sum())
 
 

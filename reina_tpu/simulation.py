@@ -45,6 +45,36 @@ def _resolve_variables(variable_store: Optional[dict] = None) -> Dict:
     return out
 
 
+# Serving-path build cache: build_run costs ~8 s at HUS scale
+# (population/schedule compilation + device transfers) and dominated
+# the warmed time-to-first-partial (docs/performance.md). Repeat runs
+# of the same resolved-variable set — the common UI case of re-running
+# with a new random seed is a DIFFERENT set, but polling re-entries and
+# dedup'd runs are not — reuse the compiled run. The CompiledRun is
+# read-only to the engine (purely functional day step), so sharing
+# across worker threads is safe.
+import json as _json
+import threading as _threading
+
+_BUILD_CACHE: Dict[str, CompiledRun] = {}
+_BUILD_LOCK = _threading.Lock()
+_BUILD_CACHE_MAX = 2
+
+
+def _cached_build_run(variables: Dict) -> CompiledRun:
+    key = _json.dumps(variables, sort_keys=True, default=str)
+    with _BUILD_LOCK:
+        run = _BUILD_CACHE.get(key)
+        if run is not None:
+            return run
+    run = build_run(variables)
+    with _BUILD_LOCK:
+        if len(_BUILD_CACHE) >= _BUILD_CACHE_MAX:
+            _BUILD_CACHE.pop(next(iter(_BUILD_CACHE)))
+        _BUILD_CACHE[key] = run
+    return run
+
+
 def outputs_to_frames(out, run: CompiledRun, n_days: int,
                       us_per_infected: Optional[np.ndarray] = None):
     """DayOutputs pytree → (daily df, age-group cube df)."""
@@ -103,7 +133,7 @@ def simulate_individuals(step_callback: Optional[Callable] = None,
     receives the partial daily DataFrame; returning a falsy value
     cancels the run (→ ExecutionInterrupted)."""
     pc = PerfCounter()
-    run = build_run(variables)
+    run = _cached_build_run(variables)
     pc.measure()
 
     n_days = variables["simulation_days"]

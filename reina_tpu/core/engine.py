@@ -212,8 +212,31 @@ def build_run(variables: Dict[str, Any],
         variant_names=variant_names,
         group_labels=pop.group_labels,
         n_agents=int(np.asarray(age_counts).sum()),
-        meta={"area_name": variables["area_name"]},
+        meta={"area_name": variables["area_name"],
+              # intermediates for reseed_run (host-side; lets the
+              # serving build cache reuse everything seed-independent)
+              "_reseed": (pop, disease, ipc, beds, icu)},
     )
+
+
+def reseed_run(run: CompiledRun, seed: int) -> CompiledRun:
+    """A CompiledRun identical to ``run`` except re-seeded: only the
+    initial agent state and the capacity scalars depend on
+    ``random_seed`` (initial-condition agent picks + severity/duration
+    draws, seed_initial_state); arrays/schedules/cfg are shared. Used
+    by the serving build cache — rebuilding everything for a new seed
+    cost ~8 s at HUS scale while the numpy re-seed is ~0.2 s."""
+    from dataclasses import replace
+
+    pop, disease, ipc, beds, icu = run.meta["_reseed"]
+    state_np = blank_state(pop)
+    rng = np.random.default_rng(np.random.SeedSequence([seed, 0xC0FFEE]))
+    state_np, avail_beds, avail_icu = seed_initial_state(
+        state_np, disease, ipc, beds, icu, rng)
+    carry = run.init_carry._replace(
+        beds_avail=jnp.int32(avail_beds), icu_avail=jnp.int32(avail_icu))
+    return replace(run, init_state=jax.tree.map(jnp.asarray, state_np),
+                   init_carry=carry, random_seed=seed)
 
 
 def create_pairs(lst):

@@ -62,11 +62,19 @@ _BUILD_CACHE_MAX = 2
 
 
 def _cached_build_run(variables: Dict) -> CompiledRun:
-    key = _json.dumps(variables, sort_keys=True, default=str)
+    # keyed WITHOUT random_seed: the reference UI bumps the seed per
+    # run (corona.py:576-578), and only the initial state depends on
+    # it — a cache hit with a new seed re-seeds in ~0.2 s
+    # (engine.reseed_run) instead of rebuilding for ~8 s
+    seed = variables.get("random_seed")
+    key = _json.dumps({k: v for k, v in variables.items()
+                       if k != "random_seed"},
+                      sort_keys=True, default=str)
     with _BUILD_LOCK:
         run = _BUILD_CACHE.get(key)
-        if run is not None:
-            return run
+    if run is not None:
+        from .core.engine import reseed_run
+        return run if run.random_seed == seed else reseed_run(run, seed)
     run = build_run(variables)
     with _BUILD_LOCK:
         if len(_BUILD_CACHE) >= _BUILD_CACHE_MAX:

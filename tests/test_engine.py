@@ -194,3 +194,29 @@ def test_expand_by_age_count_exactness():
     got = np.round(np.asarray(
         expand_by_age(arrays, jnp.asarray(table), terms=3)))
     np.testing.assert_array_equal(got, table[ages])
+
+
+def test_reseed_run_matches_fresh_build():
+    """engine.reseed_run (the serving build cache's new-seed path)
+    produces exactly the state a from-scratch build_run with that seed
+    would — only the initial state and capacity scalars depend on
+    random_seed."""
+    from reina_tpu.core.engine import build_run, reseed_run
+    from reina_tpu.config.variables import VARIABLE_DEFAULTS
+
+    v = dict(VARIABLE_DEFAULTS)
+    v["simulation_days"] = 10
+    base = build_run(v)
+    v2 = dict(v)
+    v2["random_seed"] = 4242
+    got = reseed_run(base, 4242)
+    want = build_run(v2)
+    assert got.arrays is base.arrays          # shared, not rebuilt
+    assert got.random_seed == 4242
+    for field in ("state", "severity", "days_left", "day_of_infection",
+                  "death_outside"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got.init_state, field)),
+            np.asarray(getattr(want.init_state, field)), err_msg=field)
+    assert int(got.init_carry.beds_avail) == int(want.init_carry.beds_avail)
+    assert int(got.init_carry.icu_avail) == int(want.init_carry.icu_avail)

@@ -121,11 +121,14 @@ def main():
     bench("2-way where (vsel)", K, rep(vsel_chain), x)
 
     # matmuls
-    def big_mm(a):
+    def big_mm(a, oh):
+        # the one-hot rides as an ARGUMENT: closed-over it bakes a
+        # ~350 MB constant into the remote-compile request (HTTP 413 —
+        # the pitfall this file documents)
         lhs = (a[:, None] * jnp.ones(84, jnp.bfloat16)[None, :]).astype(jnp.bfloat16)
-        out = jnp.dot(lhs.T, onehot104, preferred_element_type=jnp.float32)
+        out = jnp.dot(lhs.T, oh, preferred_element_type=jnp.float32)
         return a + out[0, 0] * 1e-12
-    bench("(84,N)@(N,104) bf16 + lhs build", K, big_mm, x)
+    bench("(84,N)@(N,104) bf16 + lhs build", K, big_mm, x, onehot104)
 
     def small_mm(a):
         oh = jax.nn.one_hot((a * 13).astype(jnp.int32) % 13, 13,
